@@ -1,0 +1,260 @@
+"""Typed configuration for the TPU SLAM engine.
+
+Mirrors every settings key the reference reads from its OpenCV YAML files
+(reference src/Tracking.cc:44-152, src/Viewer.cc:34-52, src/MapDrawer.cc:31-43)
+plus the fixed-capacity knobs the TPU design needs (static shapes: feature
+slots, keyframe/point capacities, RANSAC iteration counts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Sensor(enum.Enum):
+    """Sensor modes (reference include/System.h:55-59)."""
+
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + distortion (reference src/Tracking.cc:50-108)."""
+
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    # radial/tangential distortion k1,k2,p1,p2[,k3]
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    # stereo baseline times fx (reference "Camera.bf")
+    bf: float = 40.0
+    fps: float = 30.0
+    # image geometry (static for the whole session; TPU shapes derive from it)
+    width: int = 640
+    height: int = 480
+    # true if images arrive RGB (reference "Camera.RGB")
+    rgb: bool = True
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor settings (reference src/Tracking.cc:111-115, ORBextractor ctor).
+
+    `num_features` is the live budget; `feature_slots` is the padded static
+    array size every downstream kernel sees (TPU lane alignment).
+    """
+
+    num_features: int = 1000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # --- TPU shape/capacity knobs ---
+    feature_slots: int = 1024          # padded keypoint capacity per frame
+    cell_size: int = 32                # spatial-uniformity grid cell (px, level 0)
+    max_per_cell: int = 8              # per-cell cap before global top-k
+    candidates_per_level: int = 4096   # FAST candidates kept per pyramid level
+    patch_size: int = 31               # orientation/descriptor patch
+    half_patch: int = 15
+    edge_threshold: int = 19           # border margin for keypoints
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities for the device-resident map pytree."""
+
+    max_keyframes: int = 256
+    max_points: int = 32768
+    # covisibility thresholds (reference src/KeyFrame.cc:364 th=15,
+    # src/Optimizer.cc:800 minFeat=100)
+    covis_threshold: int = 15
+    essential_threshold: int = 100
+    # local map bounds (reference src/Tracking.cc:1378 caps local KFs at 80)
+    max_local_keyframes: int = 80
+    max_local_points: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking-policy constants (reference src/Tracking.cc)."""
+
+    # depth threshold multiplier: close stereo points within th_depth * baseline
+    # (reference src/Tracking.cc:118-121)
+    th_depth: float = 40.0
+    # RGB-D depth map scaling (reference "DepthMapFactor", src/Tracking.cc:128-133)
+    depth_map_factor: float = 1.0
+    # minimum matches to accept motion-model / reference tracking
+    # (reference src/Tracking.cc:850,962-992)
+    min_matches_motion: int = 20
+    min_matches_ref: int = 15
+    min_inliers_track: int = 10
+    # TrackLocalMap acceptance (reference src/Tracking.cc:1035-1039)
+    min_inliers_local: int = 30
+    min_inliers_local_after_reloc: int = 50
+    # mono init needs >= 100 matches (reference src/Tracking.cc:617,636)
+    mono_init_min_matches: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """RANSAC / optimizer schedules (all static so they jit)."""
+
+    # monocular initializer: 200 RANSAC iterations of 8-point sets
+    # (reference src/Initializer.cc:86-110); we batch them all.
+    init_ransac_iters: int = 256
+    init_sigma: float = 1.0
+    # PnP (EPnP) RANSAC (reference src/PnPsolver.cc:84)
+    pnp_ransac_iters: int = 256
+    pnp_min_inliers: int = 10
+    # Sim3 RANSAC (reference src/LoopClosing.cc:311 — 5 iters/slice, 300 max)
+    sim3_ransac_iters: int = 128
+    sim3_min_inliers: int = 20
+    # pose optimization: 4 rounds x 10 iterations (reference src/Optimizer.cc:262-268)
+    pose_opt_rounds: int = 4
+    pose_opt_iters: int = 10
+    # local BA: 5 + 10 iterations (reference src/Optimizer.cc:660-693)
+    local_ba_iters_first: int = 5
+    local_ba_iters_second: int = 10
+    # global BA: 10-20 iterations (reference src/LoopClosing.cc:690 uses 10)
+    global_ba_iters: int = 10
+    # essential graph: 20 iterations (reference src/Optimizer.cc:916)
+    pose_graph_iters: int = 20
+    # robust kernel thresholds: chi2 95% for 2 and 3 dof
+    # (reference src/Optimizer.cc:273-274)
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    # local BA capacities (padded static shapes)
+    ba_max_local_kfs: int = 32
+    ba_max_fixed_kfs: int = 64
+    ba_max_points: int = 8192
+    ba_max_obs_per_point: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class VocabConfig:
+    """Bag-of-words vocabulary (replaces DBoW2; reference include/ORBVocabulary.h)."""
+
+    branching: int = 10
+    depth: int = 4                      # 10^4 = 10k leaves (dense-matmul friendly)
+    seed: int = 0
+    # loop/reloc candidate capacities
+    max_candidates: int = 16
+    # covisibility consistency threshold (reference src/LoopClosing.cc:43)
+    covisibility_consistency_th: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewerConfig:
+    """Offline renderer sizes (parity with reference src/Viewer.cc:34-52)."""
+
+    keyframe_size: float = 0.05
+    keyframe_line_width: float = 1.0
+    graph_line_width: float = 0.9
+    point_size: float = 2.0
+    camera_size: float = 0.08
+    camera_line_width: float = 3.0
+    viewpoint_x: float = 0.0
+    viewpoint_y: float = -0.7
+    viewpoint_z: float = -1.8
+    viewpoint_f: float = 500.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine configuration."""
+
+    sensor: Sensor = Sensor.RGBD
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    vocab: VocabConfig = dataclasses.field(default_factory=VocabConfig)
+    viewer: ViewerConfig = dataclasses.field(default_factory=ViewerConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml_settings(path: str, sensor: Sensor) -> SlamConfig:
+    """Parse an ORB-SLAM2-style YAML settings file into a SlamConfig.
+
+    The reference reads these via cv::FileStorage (reference src/System.cc:55,
+    src/Tracking.cc:44-152). We parse the simple `Key: value` subset those
+    files use (`%YAML:1.0` header, flat keys) without requiring a YAML lib.
+    """
+    values: dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line or line.startswith("%") or ":" not in line:
+                continue
+            key, _, raw = line.partition(":")
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                values[key.strip()] = float(raw)
+            except ValueError:
+                continue
+
+    def get(key: str, default: float) -> float:
+        return values.get(key, default)
+
+    cam = CameraConfig(
+        fx=get("Camera.fx", 525.0),
+        fy=get("Camera.fy", 525.0),
+        cx=get("Camera.cx", 319.5),
+        cy=get("Camera.cy", 239.5),
+        k1=get("Camera.k1", 0.0),
+        k2=get("Camera.k2", 0.0),
+        p1=get("Camera.p1", 0.0),
+        p2=get("Camera.p2", 0.0),
+        k3=get("Camera.k3", 0.0),
+        bf=get("Camera.bf", 40.0),
+        fps=get("Camera.fps", 30.0) or 30.0,
+        width=int(get("Camera.width", 640)),
+        height=int(get("Camera.height", 480)),
+        rgb=bool(int(get("Camera.RGB", 1))),
+    )
+    orb = OrbConfig(
+        num_features=int(get("ORBextractor.nFeatures", 1000)),
+        scale_factor=get("ORBextractor.scaleFactor", 1.2),
+        num_levels=int(get("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(get("ORBextractor.iniThFAST", 20)),
+        min_th_fast=int(get("ORBextractor.minThFAST", 7)),
+    )
+    tracking = TrackingConfig(
+        th_depth=get("ThDepth", 40.0),
+        depth_map_factor=get("DepthMapFactor", 1.0) or 1.0,
+    )
+    viewer = ViewerConfig(
+        keyframe_size=get("Viewer.KeyFrameSize", 0.05),
+        keyframe_line_width=get("Viewer.KeyFrameLineWidth", 1.0),
+        graph_line_width=get("Viewer.GraphLineWidth", 0.9),
+        point_size=get("Viewer.PointSize", 2.0),
+        camera_size=get("Viewer.CameraSize", 0.08),
+        camera_line_width=get("Viewer.CameraLineWidth", 3.0),
+        viewpoint_x=get("Viewer.ViewpointX", 0.0),
+        viewpoint_y=get("Viewer.ViewpointY", -0.7),
+        viewpoint_z=get("Viewer.ViewpointZ", -1.8),
+        viewpoint_f=get("Viewer.ViewpointF", 500.0),
+    )
+    return SlamConfig(sensor=sensor, camera=cam, orb=orb, tracking=tracking, viewer=viewer)
