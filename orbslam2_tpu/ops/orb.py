@@ -1,0 +1,249 @@
+"""ORB feature extraction: FAST + orientation + rotated BRIEF over a pyramid.
+
+TPU-first redesign of the reference's `ORBextractor::operator()`
+(reference src/ORBextractor.cc:1084-1150):
+
+* FAST runs densely over every pixel of every level (ops/fast.py) instead
+  of per-30x30-cell loops;
+* the quadtree `DistributeOctTree` (reference src/ORBextractor.cc:562-792)
+  is replaced by grid-bucketed rank selection — keypoints are ranked within
+  spatial cells and selected cell-round-robin by response, which preserves
+  the spatial-uniformity intent with sort/top_k primitives XLA compiles
+  well;
+* orientation is a batched masked moment reduction (ops/patches.py);
+* the descriptor is steered BRIEF over a deterministic generated point
+  pattern — NOT the reference's hardcoded `bit_pattern_31_` table
+  (reference src/ORBextractor.cc:175-432); the pattern is drawn once from a
+  seeded Gaussian (ORB paper construction) and is a fixed constant
+  thereafter. Descriptors are packed 256 bits -> 8 x uint32 for
+  XOR+popcount matching.
+
+Output shapes are fully static: `feature_slots` padded slots with a
+validity mask.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import OrbConfig
+from orbslam2_tpu.ops import fast, patches, pyramid
+
+# ---------------------------------------------------------------------------
+# BRIEF sampling pattern
+# ---------------------------------------------------------------------------
+
+_PATTERN_RADIUS = 12.5
+
+
+def make_brief_pattern(seed: int = 7, n_bits: int = 256) -> np.ndarray:
+    """Generate a 256-pair BRIEF sampling pattern, [n_bits, 4] = (x1,y1,x2,y2).
+
+    Pairs drawn i.i.d. from N(0, (patch/5)^2) clipped to a disk of radius
+    12.5 so any rotation keeps samples inside the 31x31 patch (the ORB
+    paper's Gaussian construction; deliberately not the reference's
+    hardcoded table).
+    """
+    rng = np.random.default_rng(seed)
+    sigma = 31.0 / 5.0
+    pts = rng.normal(0.0, sigma, size=(n_bits * 2, 2))
+    r = np.linalg.norm(pts, axis=1)
+    scale = np.minimum(1.0, _PATTERN_RADIUS / np.maximum(r, 1e-9))
+    pts = pts * scale[:, None]
+    return pts.reshape(n_bits, 4).astype(np.float32)
+
+
+_BRIEF_PATTERN = jnp.asarray(make_brief_pattern())
+
+
+class FrameFeatures(NamedTuple):
+    """Static-shape per-frame feature set (the TPU analogue of the keypoint
+    vectors in reference include/Frame.h:147-160)."""
+
+    xy: jnp.ndarray        # [S, 2] float32, level-0 pixel coords (distorted/raw)
+    response: jnp.ndarray  # [S] float32
+    angle: jnp.ndarray     # [S] float32 radians
+    octave: jnp.ndarray    # [S] int32 pyramid level
+    desc: jnp.ndarray      # [S, 8] uint32 packed 256-bit descriptors
+    valid: jnp.ndarray     # [S] bool
+
+    @property
+    def num_slots(self) -> int:
+        return self.xy.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# selection: grid-bucketed rank ordering
+# ---------------------------------------------------------------------------
+
+
+def _cell_ranks(cell_ids: jnp.ndarray) -> jnp.ndarray:
+    """Given candidate cell ids in priority order (best first), return each
+    candidate's rank within its own cell (0 = best in that cell).
+
+    Stable argsort keeps priority order inside equal cells; the rank is the
+    position minus the first position of that cell value.
+    """
+    order = jnp.argsort(cell_ids, stable=True)
+    sorted_cells = cell_ids[order]
+    n = cell_ids.shape[0]
+    first = jnp.searchsorted(sorted_cells, sorted_cells, side="left")
+    ranks_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    ranks = jnp.zeros(n, jnp.int32).at[order].set(ranks_sorted)
+    return ranks
+
+
+def select_uniform(
+    score: jnp.ndarray,
+    strong: jnp.ndarray,
+    n_keep: int,
+    n_candidates: int,
+    cell_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pick `n_keep` spatially-uniform keypoints from a dense score map.
+
+    Returns (xy [n_keep, 2] float32, response [n_keep], valid [n_keep]).
+
+    Priority = score + big bonus for high-threshold corners, so weak
+    (retry-threshold) corners are used only where no strong corner exists —
+    the reference's per-cell retry semantics (src/ORBextractor.cc:853-861).
+    Selection order = (rank within cell, -priority): i.e. every cell's best
+    corner is taken before any cell's second-best — the spatial-uniformity
+    intent of DistributeOctTree (src/ORBextractor.cc:562-792).
+    """
+    H, W = score.shape
+    flat = jnp.where(strong, score + 1e6, score).reshape(-1)
+    prio, idx = jax.lax.top_k(flat, n_candidates)
+    valid = jnp.isfinite(prio)
+    ys = (idx // W).astype(jnp.int32)
+    xs = (idx % W).astype(jnp.int32)
+    n_cells_x = (W + cell_size - 1) // cell_size
+    cell = (ys // cell_size) * n_cells_x + (xs // cell_size)
+    # invalid candidates -> their own giant cell id so they rank last
+    cell = jnp.where(valid, cell, jnp.int32(2**30) + jnp.arange(n_candidates))
+    ranks = _cell_ranks(cell)
+    # key: ascending rank, then descending priority; invalid last
+    key = ranks.astype(jnp.float32) * 1e7 - jnp.minimum(prio, 9e6)
+    key = jnp.where(valid, key, jnp.inf)
+    _, sel = jax.lax.top_k(-key, n_keep)
+    xy = jnp.stack([xs[sel], ys[sel]], axis=-1).astype(jnp.float32)
+    resp = jnp.where(valid[sel], flat[idx[sel]] - jnp.where(strong.reshape(-1)[idx[sel]], 1e6, 0.0), 0.0)
+    return xy, resp, valid[sel]
+
+
+# ---------------------------------------------------------------------------
+# descriptors
+# ---------------------------------------------------------------------------
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray,
+    xy: jnp.ndarray,
+    angle: jnp.ndarray,
+    half: int = 16,
+) -> jnp.ndarray:
+    """Steered-BRIEF descriptors, [N, 8] uint32.
+
+    For each keypoint: rotate the 256x2 sample offsets by its orientation,
+    round to the nearest pixel, compare the two samples, pack bits
+    (reference computeOrbDescriptor, src/ORBextractor.cc:120-161 — same
+    steering math, batched).
+    """
+    pat = _BRIEF_PATTERN  # [256, 4]
+    p1 = pat[:, 0:2]
+    p2 = pat[:, 2:4]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
+
+    def rotate(p):  # [256, 2] x [N] -> [N, 256, 2]
+        x = p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
+        y = p[None, :, 0] * sa[:, None] + p[None, :, 1] * ca[:, None]
+        return jnp.stack([x, y], axis=-1)
+
+    r1 = jnp.round(rotate(p1)).astype(jnp.int32) + half  # patch coords
+    r2 = jnp.round(rotate(p2)).astype(jnp.int32) + half
+
+    pt = patches.gather_patches(blurred, xy, half)  # [N, S, S]
+    size = 2 * half + 1
+    flat = pt.reshape(pt.shape[0], size * size)
+    i1 = r1[..., 1] * size + r1[..., 0]  # [N, 256]
+    i2 = r2[..., 1] * size + r2[..., 0]
+    v1 = jnp.take_along_axis(flat, i1, axis=1)
+    v2 = jnp.take_along_axis(flat, i2, axis=1)
+    bits = (v1 < v2).astype(jnp.uint32)  # [N, 256]
+    return _pack_bits(bits)
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] {0,1} uint32 -> [N, 8] uint32."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = bits.reshape(bits.shape[0], 8, 32) * (jnp.uint32(1) << shifts)[None, None, :]
+    return words.sum(axis=-1, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# full extractor
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("orb",))
+def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
+    """Full ORB extraction on one grayscale image [H, W] float32 (0..255).
+
+    The per-level loop is a Python loop over static shapes — XLA sees one
+    fused graph (one compilation per camera geometry).
+    """
+    levels = pyramid.build_pyramid(image, orb)
+    budgets = pyramid.feature_budgets(orb)
+    scales = pyramid.level_scales(orb)
+
+    xs, resps, angles, octaves, descs, valids = [], [], [], [], [], []
+    for lvl in range(orb.num_levels):
+        img = levels[lvl]
+        n_l = budgets[lvl]
+        if n_l == 0:
+            continue
+        cand = min(orb.candidates_per_level, img.shape[0] * img.shape[1])
+        score, strong = fast.detect(
+            img, orb.ini_th_fast, orb.min_th_fast, orb.edge_threshold
+        )
+        xy, resp, valid = select_uniform(score, strong, n_l, cand, orb.cell_size)
+
+        raw_patches = patches.gather_patches(img, xy, orb.half_patch)
+        angle = patches.ic_angle(raw_patches, orb.half_patch)
+        blurred = pyramid.gaussian_blur(img)
+        desc = brief_descriptors(blurred, xy, angle)
+
+        xs.append(xy * scales[lvl])
+        resps.append(resp)
+        angles.append(angle)
+        octaves.append(jnp.full((n_l,), lvl, jnp.int32))
+        descs.append(desc)
+        valids.append(valid)
+
+    xy = jnp.concatenate(xs, axis=0)
+    resp = jnp.concatenate(resps, axis=0)
+    angle = jnp.concatenate(angles, axis=0)
+    octave = jnp.concatenate(octaves, axis=0)
+    desc = jnp.concatenate(descs, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+
+    # pad to the static slot count
+    S = orb.feature_slots
+    n = xy.shape[0]
+    pad = S - n
+    if pad < 0:
+        raise ValueError(f"feature budget {n} exceeds feature_slots {S}")
+    if pad:
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        resp = jnp.pad(resp, (0, pad))
+        angle = jnp.pad(angle, (0, pad))
+        octave = jnp.pad(octave, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    return FrameFeatures(xy=xy, response=resp, angle=angle, octave=octave, desc=desc, valid=valid)

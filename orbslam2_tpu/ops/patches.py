@@ -1,0 +1,59 @@
+"""Batched square-patch gathering and intensity-centroid orientation.
+
+Replaces the reference's per-keypoint pointer walks: `IC_Angle`
+(reference src/ORBextractor.cc:78-105) becomes one vmapped masked moment
+reduction over gathered patches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_patches(image: jnp.ndarray, xy: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Gather (2*half+1)^2 patches centered at integer keypoint coords.
+
+    Args:
+      image: [H, W] float32.
+      xy: [N, 2] float32/int (x, y) keypoint centers (level coords).
+      half: patch half-size.
+
+    Returns: [N, 2*half+1, 2*half+1] float32.
+
+    Implementation: pad once, vmap a dynamic_slice per keypoint. XLA turns
+    this into a batched gather; N is static so the whole thing jits.
+    """
+    size = 2 * half + 1
+    padded = jnp.pad(image, half, mode="edge")
+    ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, image.shape[1] - 1)
+    iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, image.shape[0] - 1)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (size, size))
+
+    return jax.vmap(one)(iy, ix)
+
+
+@partial(jax.jit, static_argnames=("half",))
+def ic_angle(patches: jnp.ndarray, half: int = 15) -> jnp.ndarray:
+    """Intensity-centroid orientation per patch (radians).
+
+    theta = atan2(m01, m10) over the circular region of radius `half`
+    (reference IC_Angle, src/ORBextractor.cc:78-105).
+
+    patches: [N, S, S] with S = 2*half+1.
+    """
+    size = 2 * half + 1
+    ys = jnp.arange(size, dtype=jnp.float32) - half
+    xs = jnp.arange(size, dtype=jnp.float32) - half
+    yy = ys[:, None]
+    xx = xs[None, :]
+    mask = (yy * yy + xx * xx) <= float(half * half) + 1e-3
+    wx = jnp.where(mask, xx, 0.0)
+    wy = jnp.where(mask, yy, 0.0)
+    m10 = jnp.einsum("nij,ij->n", patches, wx)
+    m01 = jnp.einsum("nij,ij->n", patches, wy)
+    return jnp.arctan2(m01, m10)
