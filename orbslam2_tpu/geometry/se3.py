@@ -43,7 +43,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     W2 = W @ W
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor series
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -58,7 +58,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_t = jnp.sin(theta)
     # theta / (2 sin theta), Taylor near 0
-    small = theta[..., None] < 1e-4
+    small = theta[..., None] < 1e-2
     scale = jnp.where(
         small,
         0.5 + theta[..., None] ** 2 / 12.0,
@@ -97,7 +97,7 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
     W = hat(phi)
     W2 = W @ W
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
@@ -117,7 +117,7 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
     W = hat(phi)
     W2 = W @ W
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2

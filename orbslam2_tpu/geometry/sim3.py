@@ -88,11 +88,11 @@ def exp(xi: jnp.ndarray):
     Wx2 = Wx @ Wx
 
     sig = sigma
-    small_sig = jnp.abs(sig) < 1e-5
+    small_sig = jnp.abs(sig) < 1e-3
     # A0 = (e^sigma - 1)/sigma
     A0 = jnp.where(small_sig, 1.0 + sig / 2.0 + sig * sig / 6.0, (s - 1.0) / jnp.where(small_sig, 1.0, sig))
 
-    small_th = theta2 < 1e-8
+    small_th = theta2 < 1e-4
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
     denom = sig * sig + theta2
     denom = jnp.maximum(denom, _EPS)
@@ -133,9 +133,9 @@ def log(S) -> jnp.ndarray:
     Wx = se3.hat(phi)
     Wx2 = Wx @ Wx
     sig = sigma
-    small_sig = jnp.abs(sig) < 1e-5
+    small_sig = jnp.abs(sig) < 1e-3
     A0 = jnp.where(small_sig, 1.0 + sig / 2.0 + sig * sig / 6.0, (s - 1.0) / jnp.where(small_sig, 1.0, sig))
-    small_th = theta2 < 1e-8
+    small_th = theta2 < 1e-4
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
     denom = jnp.maximum(sig * sig + theta2, _EPS)
     a = s * sin_t

@@ -1,0 +1,215 @@
+"""Synthetic SLAM sequences with exact ground truth.
+
+The reference fork ships no datasets or tests; its de-facto harness is
+TUM/KITTI sequences (SURVEY.md §4). This container has no datasets either,
+so we render our own: a random 3D "starfield" of high-contrast textured
+blobs, a parameterized camera trajectory, and pinhole projection with
+z-buffering — giving pixel-accurate ground-truth poses and depth for every
+frame. Pure numpy (host-side fixture generation, not a hot path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+
+from orbslam2_tpu.config import CameraConfig
+
+
+@dataclasses.dataclass
+class SyntheticWorld:
+    points: np.ndarray       # [P, 3] world coords
+    intensity: np.ndarray    # [P] blob peak intensity
+    pattern: np.ndarray      # [P, S, S] per-point texture stamp
+    background: float = 18.0
+
+
+def make_world(
+    n_points: int = 3000,
+    extent: tuple[float, float, float] = (12.0, 8.0, 18.0),
+    z_offset: float = 3.0,
+    stamp: int = 7,
+    seed: int = 0,
+) -> SyntheticWorld:
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-0.5, 0.5, size=(n_points, 3)) * np.asarray(extent)
+    pts[:, 2] += z_offset + extent[2] / 2.0
+    intensity = rng.uniform(80.0, 255.0, size=n_points)
+    # distinctive per-point stamps so descriptors are discriminative
+    pattern = rng.uniform(0.35, 1.0, size=(n_points, stamp, stamp))
+    pattern *= (rng.uniform(0, 1, size=(n_points, stamp, stamp)) > 0.35)
+    mid = stamp // 2
+    pattern[:, mid, mid] = 1.0
+    return SyntheticWorld(points=pts, intensity=intensity, pattern=pattern)
+
+
+def _bilinear_shift(stamps: np.ndarray, fv: np.ndarray, fu: np.ndarray) -> np.ndarray:
+    """Shift each stamp [P, S, S] by its fractional (fv, fu) in [-0.5, 0.5]
+    via bilinear resampling (vectorized over all stamps)."""
+    P, S, _ = stamps.shape
+    if P == 0:
+        return stamps
+    padded = np.pad(stamps, ((0, 0), (1, 1), (1, 1)))
+    gy = 1.0 - fv  # sample row offset for output row y: y + gy
+    gx = 1.0 - fu
+    oy = np.floor(gy).astype(np.int64)
+    ox = np.floor(gx).astype(np.int64)
+    wy = (gy - oy)[:, None, None]
+    wx = (gx - ox)[:, None, None]
+    Y, X = np.mgrid[0:S, 0:S]
+    pi = np.arange(P)[:, None, None]
+    out = np.zeros_like(stamps)
+    for dy, wgy in ((0, 1.0 - wy), (1, wy)):
+        for dx, wgx in ((0, 1.0 - wx), (1, wx)):
+            out += wgy * wgx * padded[pi, Y + oy[:, None, None] + dy, X + ox[:, None, None] + dx]
+    return out
+
+
+def render_frame(
+    world: SyntheticWorld,
+    Tcw: np.ndarray,
+    cam: CameraConfig,
+    noise: float = 1.5,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render (image [H, W] float32, depth [H, W] float32; 0 = no depth).
+
+    Z-buffered stamp splatting: each visible point draws its texture stamp
+    scaled by 1/z; nearer points win depth.
+    """
+    H, W = cam.height, cam.width
+    R, t = Tcw[:3, :3], Tcw[:3, 3]
+    pc = world.points @ R.T + t
+    z = pc[:, 2]
+    vis = z > 0.3
+    u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+    v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+    S = world.pattern.shape[1]
+    half = S // 2
+    iu_all = np.round(u).astype(np.int64)
+    iv_all = np.round(v).astype(np.int64)
+    vis &= (iu_all >= half) & (iu_all < W - half) & (iv_all >= half) & (iv_all < H - half)
+
+    image = np.full((H, W), world.background, np.float32)
+    depth = np.zeros((H, W), np.float32)
+    zbuf = np.full((H, W), np.inf, np.float32)
+
+    idx = np.nonzero(vis)[0]
+    idx = idx[np.argsort(-z[idx])]  # far to near: near overwrites
+    iu, iv = iu_all, iv_all
+    # sub-pixel placement: bilinear-shift each stamp by its fractional
+    # offset so stereo disparity / flow carry sub-pixel truth (integer
+    # splatting would quantize disparity by +-0.5 px => ~10% depth error)
+    shifted = _bilinear_shift(
+        world.pattern[idx], (v[idx] - iv[idx]), (u[idx] - iu[idx])
+    )
+    for n, i in enumerate(idx):
+        y0, x0 = iv[i] - half, iu[i] - half
+        stamp = shifted[n] * world.intensity[i]
+        region = image[y0 : y0 + S, x0 : x0 + S]
+        np.maximum(region, stamp, out=region)
+        mask = shifted[n] > 0.01
+        depth[y0 : y0 + S, x0 : x0 + S][mask] = z[i]
+
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        image = image + rng.normal(0, noise, size=image.shape)
+    return np.clip(image, 0, 255).astype(np.float32), depth
+
+
+def stereo_pair(
+    world: SyntheticWorld, Tcw: np.ndarray, cam: CameraConfig, **kw
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(left image, right image, left depth) for a rectified pair with
+    baseline bf/fx along +x."""
+    left, depth = render_frame(world, Tcw, cam, **kw)
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -cam.baseline  # right camera is +x of left => point shifts -x
+    right, _ = render_frame(world, T_rl @ Tcw, cam, **kw)
+    return left, right, depth
+
+
+def forward_trajectory(
+    n_frames: int,
+    step: float = 0.06,
+    yaw_rate: float = 0.002,
+    sway: float = 0.01,
+) -> np.ndarray:
+    """[N, 4, 4] ground-truth Tcw: mostly-forward dolly with gentle yaw/sway."""
+    poses = []
+    Twc = np.eye(4)
+    for i in range(n_frames):
+        poses.append(np.linalg.inv(Twc))
+        c, s = np.cos(yaw_rate), np.sin(yaw_rate)
+        dR = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Twc = Twc @ _make_se3(dR, [sway * np.sin(i * 0.2), sway * 0.5 * np.cos(i * 0.13), step])
+    return np.stack(poses)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 4.0, center_z: float = 12.0) -> np.ndarray:
+    """[N, 4, 4] Tcw orbiting the world center, always looking at it —
+    exercises loop closure (comes back to the start)."""
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / n_frames
+        eye = np.asarray([radius * np.sin(a), 0.0, center_z - radius * np.cos(a)])
+        target = np.asarray([0.0, 0.0, center_z])
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.asarray([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        dn = np.cross(fwd, right)
+        Rwc = np.stack([right, dn, fwd], axis=1)
+        Twc = _make_se3(Rwc, eye)
+        poses.append(np.linalg.inv(Twc))
+    return np.stack(poses)
+
+
+def _make_se3(R, t) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    """An iterable RGB-D / stereo / mono sequence with ground truth."""
+
+    world: SyntheticWorld
+    poses: np.ndarray  # [N, 4, 4] ground-truth Tcw
+    cam: CameraConfig
+    noise: float = 1.5
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        return render_frame(self.world, self.poses[i], self.cam, noise=self.noise, seed=i)
+
+    def stereo(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return stereo_pair(self.world, self.poses[i], self.cam, noise=self.noise, seed=i)
+
+    def timestamps(self) -> np.ndarray:
+        return np.arange(len(self.poses), dtype=np.float64) / self.cam.fps
+
+
+def default_sequence(
+    n_frames: int = 60,
+    kind: str = "forward",
+    n_points: int = 3000,
+    seed: int = 0,
+    cam: Optional[CameraConfig] = None,
+) -> SyntheticSequence:
+    cam = cam or CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5, bf=48.0)
+    world = make_world(n_points=n_points, seed=seed)
+    if kind == "forward":
+        poses = forward_trajectory(n_frames)
+    elif kind == "orbit":
+        poses = orbit_trajectory(n_frames)
+    else:
+        raise ValueError(kind)
+    return SyntheticSequence(world=world, poses=poses, cam=cam)

@@ -1,0 +1,506 @@
+"""Tracking: the per-frame front-end state machine.
+
+Redesign of the reference `Tracking` class (reference src/Tracking.cc):
+the same state machine (NOT_INITIALIZED -> OK <-> LOST) and the same
+per-frame flow — motion-model search, reference-KF fallback, local-map
+refinement, keyframe policy — but every hot stage is a jitted fixed-shape
+kernel over the device-resident map, and the host loop only sequences them.
+
+Stage map (reference file:line):
+* stereo/RGB-D init            src/Tracking.cc:541-599
+* TrackWithMotionModel         src/Tracking.cc:924-992
+* TrackReferenceKeyFrame       src/Tracking.cc:808-851
+* TrackLocalMap + SearchLocalPoints   src/Tracking.cc:995-1046, 1225-1278
+* UpdateLocalKeyFrames/Points  src/Tracking.cc:1281-1436
+* NeedNewKeyFrame/CreateNewKeyFrame   src/Tracking.cc:1049-1221
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import SlamConfig, Sensor
+from orbslam2_tpu.geometry import camera as cam_geo
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.ops import match
+from orbslam2_tpu.pipeline.frame import FrameBuilder, FrameData
+from orbslam2_tpu.slam_map import map_state as ms
+from orbslam2_tpu.solvers import pose_opt
+
+LOG_SCALE = float(np.log(1.2))
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class TrackResult(NamedTuple):
+    Tcw: np.ndarray
+    state: TrackState
+    num_inliers: int
+    is_keyframe: bool
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def motion_model_match(
+    Tcw_pred,
+    last_xy,
+    last_point_idx,
+    last_octave,
+    last_angle,
+    last_desc,
+    mp_pos,
+    mp_valid,
+    frame: FrameData,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    radius_th,
+):
+    """Project last frame's bound points into the predicted pose and match
+    (reference SearchByProjection Frame-to-Frame, src/ORBmatcher.cc:160-300).
+
+    Returns (point_idx [S] int32 bindings for the current frame, pred_uv).
+    """
+    S = last_xy.shape[0]
+    pid = jnp.clip(last_point_idx, 0, mp_pos.shape[0] - 1)
+    has_point = (last_point_idx >= 0) & mp_valid[pid]
+    pw = mp_pos[pid]
+    pc = se3.apply(Tcw_pred, pw)
+    uv = cam_geo.project(pc, K)
+    vis = has_point & (pc[:, 2] > 0.1)
+    radius = radius_th * scale_factors[jnp.clip(last_octave, 0, scale_factors.shape[0] - 1)]
+    res = match.search_frame_to_frame(
+        last_desc, uv, last_octave, vis, last_angle,
+        frame.desc, frame.xy, frame.octave, frame.valid, frame.angle,
+        radius,
+    )
+    # per current-feature binding: assigned[s] = index into last frame slots
+    assigned = res.assigned  # [S] -> last-frame slot or -1
+    cur_point = jnp.where(
+        assigned >= 0, last_point_idx[jnp.clip(assigned, 0, S - 1)], -1
+    )
+    return cur_point, uv
+
+
+@jax.jit
+def reference_kf_match(
+    kf_desc, kf_point_idx, kf_angle, kf_feat_valid,
+    mp_valid,
+    frame: FrameData,
+):
+    """Match frame descriptors against a keyframe's bound features
+    (reference SearchByBoW KF-Frame, src/ORBmatcher.cc:552-687 — here a
+    dense gated matcher, ratio 0.7)."""
+    pid = jnp.clip(kf_point_idx, 0, mp_valid.shape[0] - 1)
+    valid_a = kf_feat_valid & (kf_point_idx >= 0) & mp_valid[pid]
+    res = match.search_brute(
+        kf_desc, valid_a, kf_angle,
+        frame.desc, frame.valid, frame.angle,
+        max_dist=match.TH_LOW, ratio=0.7, check_rotation=True,
+    )
+    assigned = res.assigned  # current feature -> kf slot
+    cur_point = jnp.where(
+        assigned >= 0, kf_point_idx[jnp.clip(assigned, 0, kf_desc.shape[0] - 1)], -1
+    )
+    return cur_point
+
+
+@partial(jax.jit, static_argnames=("max_local_kfs", "max_local_points"))
+def gather_local_map(
+    state: ms.MapState,
+    cur_point_idx,
+    max_local_kfs: int = 80,
+    max_local_points: int = 4096,
+):
+    """Local keyframes = observers of current points + top covisibles;
+    local points = points bound in those KFs
+    (reference UpdateLocalKeyFrames/UpdateLocalPoints, src/Tracking.cc:1281-1436).
+
+    Returns (local_kf_ids [L], local_kf_mask [L] bool,
+             local_point_ids [M], local_point_mask [M] bool, ref_kf).
+    """
+    P = state.capacity_mp
+    K = state.capacity_kf
+    pid = jnp.clip(cur_point_idx, 0, P - 1)
+    bound = (cur_point_idx >= 0) & state.mp_valid[pid]
+    # votes per KF: each bound point votes for its observers
+    obs_kf = state.mp_obs_kf[pid]  # [S, O]
+    obs_ok = bound[:, None] & (obs_kf >= 0)
+    votes = jnp.zeros(K + 1, jnp.int32).at[jnp.where(obs_ok, obs_kf, K)].add(1)[:K]
+    votes = jnp.where(state.kf_valid, votes, 0)
+    ref_kf = jnp.argmax(votes).astype(jnp.int32)
+    # K1 = voting KFs; K2 = best covisibles of K1 — approximate by adding
+    # covisibility weights of voting KFs
+    covis_boost = (state.covis * (votes > 0)[:, None].astype(jnp.int32)).max(0)
+    score = votes * 1000 + jnp.where(votes > 0, 0, covis_boost)
+    score = jnp.where(state.kf_valid, score, -1)
+    _, local_kfs = jax.lax.top_k(score, max_local_kfs)
+    local_kf_mask = score[local_kfs] > 0
+    # local points: any point bound in a local KF
+    flags = jnp.zeros(P + 1, bool)
+    ids = state.kf_point_idx[local_kfs]  # [L, S]
+    ids_w = jnp.where(local_kf_mask[:, None] & (ids >= 0), ids, P)
+    flags = flags.at[ids_w.reshape(-1)].set(True)
+    flags = flags.at[P].set(False)
+    flags = flags[:P] & state.mp_valid
+    local_points = jnp.nonzero(flags, size=max_local_points, fill_value=P)[0]
+    local_point_mask = local_points < P
+    local_points = jnp.clip(local_points, 0, P - 1)
+    return local_kfs, local_kf_mask, local_points, local_point_mask, ref_kf
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def search_local_points(
+    state: ms.MapState,
+    local_points,
+    local_point_mask,
+    Tcw,
+    cur_point_idx,
+    frame: FrameData,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    image_bounds,         # (xmin, xmax, ymin, ymax)
+    radius_mult,
+    num_levels: int = 8,
+):
+    """Frustum-check local points, predict scale, and project-match into the
+    frame's unbound features (reference Frame::isInFrustum src/Frame.cc:288-345
+    + SearchLocalPoints src/Tracking.cc:1225-1278 + projection matcher radius
+    policy src/ORBmatcher.cc:83-96).
+
+    Returns (new point_idx bindings [S], n_visible [M] visibility mask).
+    """
+    pw = state.mp_pos[local_points]
+    pc = se3.apply(Tcw, pw)
+    uv = cam_geo.project(pc, K)
+    z_ok = pc[:, 2] > 0.1
+    xmin, xmax, ymin, ymax = image_bounds
+    in_img = (
+        (uv[:, 0] >= xmin) & (uv[:, 0] < xmax) & (uv[:, 1] >= ymin) & (uv[:, 1] < ymax)
+    )
+    Ow = se3.camera_center(Tcw)
+    rays = pw - Ow
+    dist = jnp.linalg.norm(rays, axis=-1)
+    mind = state.mp_min_dist[local_points] * 0.8
+    maxd = state.mp_max_dist[local_points] * 1.2
+    dist_ok = (dist >= mind) & (dist <= maxd)
+    normal = state.mp_normal[local_points]
+    viewcos = jnp.sum(rays * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    view_ok = viewcos > 0.5
+    visible = local_point_mask & z_ok & in_img & dist_ok & view_ok
+
+    # already-bound points must not be re-matched (reference flags
+    # mnLastFrameSeen, src/Tracking.cc:1232-1240)
+    P = state.capacity_mp
+    bound_flag = jnp.zeros(P + 1, bool).at[
+        jnp.where(cur_point_idx >= 0, cur_point_idx, P)
+    ].set(True)
+    already = bound_flag[local_points]
+    visible = visible & ~already
+
+    # predicted octave from distance (reference MapPoint::PredictScale)
+    ratio = state.mp_max_dist[local_points] / jnp.maximum(dist, 1e-9)
+    pred_octave = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / LOG_SCALE).astype(jnp.int32),
+        0,
+        num_levels - 1,
+    )
+    r = jnp.where(viewcos > 0.998, 2.5, 4.0) * radius_mult
+    radius = r * scale_factors[pred_octave]
+
+    free_feat = frame.valid & (cur_point_idx < 0)
+    res = match.search_by_projection(
+        state.mp_desc[local_points], uv, pred_octave, visible,
+        frame.desc, frame.xy, frame.octave, free_feat,
+        radius, max_dist=match.TH_HIGH, ratio=0.8,
+    )
+    assigned = res.assigned  # feature -> local point row
+    new_bind = jnp.where(
+        assigned >= 0,
+        local_points[jnp.clip(assigned, 0, local_points.shape[0] - 1)],
+        -1,
+    ).astype(jnp.int32)
+    merged = jnp.where(cur_point_idx >= 0, cur_point_idx, new_bind)
+    return merged, visible
+
+
+@jax.jit
+def build_pose_observations(
+    point_idx, frame: FrameData, mp_pos, mp_valid, inv_sigma2_per_octave
+) -> pose_opt.PoseObservations:
+    pid = jnp.clip(point_idx, 0, mp_pos.shape[0] - 1)
+    mask = (point_idx >= 0) & mp_valid[pid] & frame.valid
+    return pose_opt.PoseObservations(
+        pw=mp_pos[pid],
+        uv=frame.xy,
+        ur=frame.ur,
+        inv_sigma2=inv_sigma2_per_octave[
+            jnp.clip(frame.octave, 0, inv_sigma2_per_octave.shape[0] - 1)
+        ],
+        mask=mask,
+    )
+
+
+@jax.jit
+def update_seen_counters(state: ms.MapState, visible_pts, visible_mask, found_pts, found_mask):
+    """mnVisible / mnFound bookkeeping (reference src/Tracking.cc:1232-1249,
+    MapPoint::IncreaseVisible/IncreaseFound)."""
+    P = state.capacity_mp
+    vis_w = jnp.where(visible_mask, visible_pts, P)
+    fnd_w = jnp.where(found_mask, found_pts, P)
+    return state._replace(
+        mp_visible=state.mp_visible.at[vis_w].add(1, mode="drop"),
+        mp_found=state.mp_found.at[fnd_w].add(1, mode="drop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side tracker
+# ---------------------------------------------------------------------------
+
+
+class Tracker:
+    """Host orchestration of the per-frame pipeline over jitted stages."""
+
+    def __init__(self, cfg: SlamConfig, builder: FrameBuilder, state: ms.MapState):
+        self.cfg = cfg
+        self.builder = builder
+        self.map = state
+        self.K = builder.K
+        nl = cfg.orb.num_levels
+        sf = cfg.orb.scale_factor
+        self.scale_factors = jnp.asarray([sf**i for i in range(nl)], jnp.float32)
+        self.inv_sigma2 = jnp.asarray([1.0 / sf ** (2 * i) for i in range(nl)], jnp.float32)
+        self.bounds = cam_geo.compute_image_bounds(cfg.camera)
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity: Optional[jnp.ndarray] = None
+        self.last_Tcw: Optional[jnp.ndarray] = None
+        self.last_frame: Optional[FrameData] = None
+        self.last_point_idx: Optional[jnp.ndarray] = None
+        self.ref_kf: int = -1
+        self.frames_since_kf = 0
+        self.last_inliers = 0
+        self.new_keyframe_ids: list[int] = []
+        # per-frame trajectory log (reference mlRelativeFramePoses,
+        # include/Tracking.h:112-115)
+        self.trajectory: list[tuple[float, np.ndarray, int, bool]] = []
+
+    # -- initialization ----------------------------------------------------
+
+    def _stereo_initialize(self, frame: FrameData) -> bool:
+        n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
+        if n_depth < 300:
+            return False
+        Tcw = se3.identity()
+        S = frame.xy.shape[0]
+        st, kf0 = ms.add_keyframe(
+            self.map, jnp.int32(frame.frame_id), Tcw,
+            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+            frame.desc, frame.valid, jnp.full((S,), -1, jnp.int32),
+        )
+        st, pids = self._create_depth_points(st, int(kf0), frame, Tcw,
+                                             jnp.full((S,), -1, jnp.int32))
+        self.map = st
+        self.ref_kf = int(kf0)
+        self.last_point_idx = st.kf_point_idx[int(kf0)]
+        self.new_keyframe_ids.append(int(kf0))
+        return True
+
+    def _create_depth_points(self, st, kf_id, frame: FrameData, Tcw, existing_bind):
+        """Create map points for unbound features with valid depth
+        (reference src/Tracking.cc:564-592, 1168-1216)."""
+        th = self.cfg.tracking.th_depth * self.cfg.camera.baseline
+        create = (
+            frame.valid & (frame.depth > 0) & (frame.depth < th) & (existing_bind < 0)
+        )
+        pc = cam_geo.backproject(frame.xy, frame.depth, self.K)
+        Twc = se3.inverse(Tcw)
+        pw = se3.apply(Twc, pc)
+        Ow = se3.camera_center(Tcw)
+        rays = pw - Ow
+        dist = jnp.linalg.norm(rays, axis=-1)
+        normal = rays / jnp.maximum(dist[:, None], 1e-9)
+        scale = self.scale_factors[jnp.clip(frame.octave, 0, self.scale_factors.shape[0] - 1)]
+        max_d = dist * scale
+        min_d = max_d / float(self.cfg.orb.scale_factor ** (self.cfg.orb.num_levels - 1))
+        S = frame.xy.shape[0]
+        st, pids = ms.add_points(
+            st, pw, create, jnp.int32(kf_id), jnp.arange(S, dtype=jnp.int32),
+            frame.desc, normal, min_d, max_d, frame.ur,
+        )
+        return st, pids
+
+    # -- main entry --------------------------------------------------------
+
+    def process(self, frame: FrameData) -> TrackResult:
+        is_kf = False
+        if self.state == TrackState.NOT_INITIALIZED:
+            if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
+                if self._stereo_initialize(frame):
+                    self.state = TrackState.OK
+                    self.last_Tcw = se3.identity()
+                    self.last_frame = frame
+                    self.frames_since_kf = 0
+                    self._log_pose(frame, True)
+                    return TrackResult(np.eye(4), self.state, 0, True)
+            self._log_pose(frame, False)
+            return TrackResult(np.eye(4), TrackState.NOT_INITIALIZED, 0, False)
+
+        st = self.map
+        # ---- coarse pose: motion model, else reference KF ----
+        ok = False
+        cur_point_idx = None
+        Tcw = self.last_Tcw
+        if self.velocity is not None:
+            Tcw_pred = self.velocity @ self.last_Tcw
+            radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+            cur_point_idx, _ = motion_model_match(
+                Tcw_pred,
+                self.last_frame.xy, self.last_point_idx,
+                self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
+                st.mp_pos, st.mp_valid, frame, self.K, self.scale_factors,
+                jnp.float32(radius_th),
+            )
+            n = int(jnp.sum(cur_point_idx >= 0))
+            if n < 20:  # widen like the reference (src/Tracking.cc:950-956)
+                cur_point_idx, _ = motion_model_match(
+                    Tcw_pred,
+                    self.last_frame.xy, self.last_point_idx,
+                    self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
+                    st.mp_pos, st.mp_valid, frame, self.K, self.scale_factors,
+                    jnp.float32(2 * radius_th),
+                )
+                n = int(jnp.sum(cur_point_idx >= 0))
+            if n >= 20:
+                obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+                res = pose_opt.pose_optimize(Tcw_pred, obs, self.K)
+                cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
+                if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
+                    Tcw, ok = res.Tcw, True
+        if not ok:
+            # reference-KF fallback
+            cur_point_idx = reference_kf_match(
+                st.kf_desc[self.ref_kf], st.kf_point_idx[self.ref_kf],
+                st.kf_angle[self.ref_kf], st.kf_feat_valid[self.ref_kf],
+                st.mp_valid, frame,
+            )
+            n = int(jnp.sum(cur_point_idx >= 0))
+            if n >= self.cfg.tracking.min_matches_ref:
+                obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+                res = pose_opt.pose_optimize(self.last_Tcw, obs, self.K)
+                cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
+                if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
+                    Tcw, ok = res.Tcw, True
+        if not ok:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self._log_pose(frame, False)
+            return TrackResult(np.asarray(self.last_Tcw), self.state, 0, False)
+
+        # ---- local map refinement ----
+        lkf, lkf_mask, lpts, lpts_mask, _ = gather_local_map(
+            st, cur_point_idx,
+            max_local_kfs=self.cfg.map.max_local_keyframes,
+            max_local_points=self.cfg.map.max_local_points,
+        )
+        cur_point_idx, visible = search_local_points(
+            st, lpts, lpts_mask, Tcw, cur_point_idx, frame, self.K,
+            self.scale_factors, self.bounds, jnp.float32(1.0),
+            num_levels=self.cfg.orb.num_levels,
+        )
+        obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+        res = pose_opt.pose_optimize(Tcw, obs, self.K)
+        cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
+        n_inliers = int(res.num_inliers)
+        Tcw = res.Tcw
+
+        st = update_seen_counters(
+            st, lpts, visible,
+            jnp.clip(cur_point_idx, 0, st.capacity_mp - 1), cur_point_idx >= 0,
+        )
+        self.map = st
+
+        if n_inliers < self.cfg.tracking.min_inliers_local:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self._log_pose(frame, False)
+            return TrackResult(np.asarray(Tcw), self.state, n_inliers, False)
+
+        self.state = TrackState.OK
+        # motion model (reference src/Tracking.cc:447-456)
+        self.velocity = Tcw @ se3.inverse(self.last_Tcw)
+
+        # ---- keyframe policy ----
+        if self._need_new_keyframe(frame, cur_point_idx, n_inliers):
+            self._create_new_keyframe(frame, Tcw, cur_point_idx)
+            is_kf = True
+            self.frames_since_kf = 0
+        else:
+            self.frames_since_kf += 1
+
+        self.last_Tcw = Tcw
+        self.last_frame = frame
+        self.last_point_idx = cur_point_idx
+        self.last_inliers = n_inliers
+        self._log_pose(frame, True, Tcw)
+        return TrackResult(np.asarray(Tcw), self.state, n_inliers, is_kf)
+
+    # -- keyframe policy ---------------------------------------------------
+
+    def _need_new_keyframe(self, frame: FrameData, point_idx, n_inliers) -> bool:
+        """Condensed version of reference src/Tracking.cc:1049-1139."""
+        min_gap = 0
+        max_gap = max(int(self.cfg.camera.fps) // 2, 5)
+        ref_tracked = int(
+            jnp.sum(
+                (self.map.kf_point_idx[self.ref_kf] >= 0)
+                & self.map.kf_feat_valid[self.ref_kf]
+            )
+        )
+        ratio = 0.75 if self.cfg.sensor != Sensor.MONOCULAR else 0.9
+        if int(self.map.num_kf) <= 2:
+            ratio = 0.4
+        need_ratio = n_inliers < ratio * max(ref_tracked, 1)
+        # stereo/RGB-D: many close points not yet in the map
+        close_cond = False
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            th = self.cfg.tracking.th_depth * self.cfg.camera.baseline
+            close_tracked = int(jnp.sum((point_idx >= 0) & (frame.depth > 0) & (frame.depth < th)))
+            close_free = int(jnp.sum((point_idx < 0) & (frame.depth > 0) & (frame.depth < th) & frame.valid))
+            close_cond = close_tracked < 100 and close_free > 70
+        c1 = self.frames_since_kf >= max_gap
+        c2 = (need_ratio or close_cond) and self.frames_since_kf >= min_gap
+        return (c1 or c2) and n_inliers > 15
+
+    def _create_new_keyframe(self, frame: FrameData, Tcw, point_idx):
+        st, kf = ms.add_keyframe(
+            self.map, jnp.int32(frame.frame_id), Tcw,
+            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+            frame.desc, frame.valid, point_idx,
+        )
+        kf_id = int(kf)
+        if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
+            st, _ = self._create_depth_points(st, kf_id, frame, Tcw, point_idx)
+        self.map = st
+        self.ref_kf = kf_id
+        self.last_point_idx = st.kf_point_idx[kf_id]
+        self.new_keyframe_ids.append(kf_id)
+
+    # -- logging -----------------------------------------------------------
+
+    def _log_pose(self, frame: FrameData, tracked: bool, Tcw=None):
+        T = np.asarray(Tcw if Tcw is not None else (self.last_Tcw if self.last_Tcw is not None else jnp.eye(4)))
+        self.trajectory.append((frame.timestamp, T, self.ref_kf, tracked))

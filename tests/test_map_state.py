@@ -1,0 +1,140 @@
+"""Map pytree tests: keyframe/point insertion, observation tables,
+covisibility symmetry, descriptor re-election, normal/depth bands."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import MapConfig, OrbConfig
+from orbslam2_tpu.slam_map import map_state as ms
+
+MCFG = MapConfig(max_keyframes=8, max_points=256)
+OCFG = OrbConfig(num_features=30, feature_slots=32)
+
+
+def blank():
+    return ms.allocate(MCFG, OCFG, obs_slots=4)
+
+
+def mk_kf_args(rng, frame_id=0, point_idx=None, n_feat=32):
+    S = OCFG.feature_slots
+    xy = jnp.asarray(rng.uniform(0, 640, (S, 2)).astype(np.float32))
+    ur = jnp.full(S, -1.0)
+    depth = jnp.full(S, -1.0)
+    octave = jnp.zeros(S, jnp.int32)
+    angle = jnp.zeros(S)
+    desc = jnp.asarray(rng.integers(0, 2**32, (S, 8), dtype=np.uint32))
+    fv = jnp.arange(S) < n_feat
+    pi = jnp.full(S, -1, jnp.int32) if point_idx is None else point_idx
+    return dict(
+        frame_id=jnp.int32(frame_id), Tcw=jnp.eye(4), xy=xy, ur=ur, depth=depth,
+        octave=octave, angle=angle, desc=desc, feat_valid=fv, point_idx=pi,
+    )
+
+
+class TestMapState:
+    def test_add_keyframe_basic(self, rng):
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        assert int(k0) == 0
+        assert bool(st.kf_valid[0])
+        assert int(st.num_kf) == 1
+        assert int(st.kf_parent[0]) == -1
+
+    def test_add_points_and_bind(self, rng):
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        N = 16
+        pos = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+        valid = jnp.arange(N) < 10
+        st, pids = ms.add_points(
+            st, pos, valid, k0, jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 3)),
+            jnp.zeros(N), jnp.ones(N), jnp.full(N, -1.0),
+        )
+        assert int(st.num_mp) == 10
+        assert (np.asarray(pids[:10]) == np.arange(10)).all()
+        assert (np.asarray(pids[10:]) == -1).all()
+        # keyframe binding + reverse observation
+        assert (np.asarray(st.kf_point_idx[0, :10]) == np.arange(10)).all()
+        assert (np.asarray(st.mp_obs_kf[:10, 0]) == 0).all()
+        assert (np.asarray(st.mp_obs_feat[:10, 0]) == np.arange(10)).all()
+        assert (np.asarray(st.mp_n_obs[:10]) == 1).all()
+
+    def test_covisibility_symmetric_counts(self, rng):
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        N = 20
+        pos = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+        st, pids = ms.add_points(
+            st, pos, jnp.ones(N, bool), k0, jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 3)),
+            jnp.zeros(N), jnp.ones(N), jnp.full(N, -1.0),
+        )
+        # second KF sees points 5..14 in feature slots 0..9
+        pi = jnp.full(32, -1, jnp.int32).at[jnp.arange(10)].set(jnp.arange(5, 15, dtype=jnp.int32))
+        st, k1 = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=1, point_idx=pi))
+        covis = np.asarray(st.covis)
+        assert covis[0, 1] == 10 and covis[1, 0] == 10
+        assert covis[1, 1] == 0
+        # spanning tree: k1's parent is k0
+        assert int(st.kf_parent[1]) == 0
+        # observations appended for shared points
+        assert (np.asarray(st.mp_n_obs[5:15]) == 2).all()
+        assert (np.asarray(st.mp_obs_kf[5:15, 1]) == 1).all()
+
+    def test_descriptor_reelection(self, rng):
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        N = 4
+        pos = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) + np.asarray([0, 0, 5.0]))
+        st, pids = ms.add_points(
+            st, pos, jnp.ones(N, bool), k0, jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 3)),
+            jnp.zeros(N), jnp.ones(N), jnp.full(N, -1.0),
+        )
+        pi = jnp.full(32, -1, jnp.int32).at[jnp.arange(4)].set(jnp.arange(4, dtype=jnp.int32))
+        st, k1 = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=1, point_idx=pi))
+        st2 = ms.recompute_point_stats(st, jnp.arange(4, dtype=jnp.int32))
+        # elected descriptor must be one of the observed descriptors
+        for p in range(4):
+            obs_descs = [np.asarray(st.kf_desc[0, p]), np.asarray(st.kf_desc[1, p])]
+            got = np.asarray(st2.mp_desc[p])
+            assert any((got == od).all() for od in obs_descs)
+        # normal points from camera (origin) toward the point
+        for p in range(4):
+            n = np.asarray(st2.mp_normal[p])
+            d = np.asarray(pos[p]) / np.linalg.norm(np.asarray(pos[p]))
+            assert np.dot(n, d) > 0.99
+        assert float(st2.mp_max_dist[0]) > 0
+        assert float(st2.mp_min_dist[0]) < float(st2.mp_max_dist[0])
+
+    def test_obs_table_overflow_safe(self, rng):
+        st = blank()  # obs_slots = 4
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        N = 2
+        pos = jnp.ones((N, 3))
+        st, _ = ms.add_points(
+            st, pos, jnp.ones(N, bool), k0, jnp.arange(N, dtype=jnp.int32),
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 3)),
+            jnp.zeros(N), jnp.ones(N), jnp.full(N, -1.0),
+        )
+        pi = jnp.full(32, -1, jnp.int32).at[jnp.arange(2)].set(jnp.arange(2, dtype=jnp.int32))
+        for fid in range(1, 6):  # 5 more observers but only 4 obs slots
+            st, _ = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid, point_idx=pi))
+        # table full at 4, no crash, counts keep increasing
+        assert (np.asarray(st.mp_obs_kf[0]) >= 0).all()
+
+    def test_point_capacity_overflow(self, rng):
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        big = 300  # > capacity 256
+        pos = jnp.ones((big, 3))
+        st, pids = ms.add_points(
+            st, pos, jnp.ones(big, bool), k0,
+            jnp.arange(big, dtype=jnp.int32) % 32,
+            jnp.zeros((big, 8), jnp.uint32), jnp.zeros((big, 3)),
+            jnp.zeros(big), jnp.ones(big), jnp.full(big, -1.0),
+        )
+        assert int(st.num_mp) == 256
+        assert (np.asarray(pids[256:]) == -1).all()
