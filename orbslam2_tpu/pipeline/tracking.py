@@ -134,6 +134,7 @@ def gather_local_map(
     """
     P = state.capacity_mp
     K = state.capacity_kf
+    max_local_kfs = min(max_local_kfs, K)
     pid = jnp.clip(cur_point_idx, 0, P - 1)
     bound = (cur_point_idx >= 0) & state.mp_valid[pid]
     # votes per KF: each bound point votes for its observers
@@ -312,20 +313,32 @@ class Tracker:
             frame.desc, frame.valid, jnp.full((S,), -1, jnp.int32),
         )
         st, pids = self._create_depth_points(st, int(kf0), frame, Tcw,
-                                             jnp.full((S,), -1, jnp.int32))
+                                             jnp.full((S,), -1, jnp.int32),
+                                             all_depths=True)
         self.map = st
         self.ref_kf = int(kf0)
         self.last_point_idx = st.kf_point_idx[int(kf0)]
         self.new_keyframe_ids.append(int(kf0))
         return True
 
-    def _create_depth_points(self, st, kf_id, frame: FrameData, Tcw, existing_bind):
-        """Create map points for unbound features with valid depth
-        (reference src/Tracking.cc:564-592, 1168-1216)."""
+    def _create_depth_points(self, st, kf_id, frame: FrameData, Tcw, existing_bind,
+                             all_depths: bool = False):
+        """Create map points for unbound features with valid depth.
+
+        At initialization every depth>0 feature becomes a point (reference
+        src/Tracking.cc:564-592); at later keyframes only close points
+        (depth < ThDepth*baseline) plus the 100 nearest regardless
+        (reference src/Tracking.cc:1168-1216)."""
         th = self.cfg.tracking.th_depth * self.cfg.camera.baseline
-        create = (
-            frame.valid & (frame.depth > 0) & (frame.depth < th) & (existing_bind < 0)
-        )
+        has_depth = frame.valid & (frame.depth > 0) & (existing_bind < 0)
+        if all_depths:
+            create = has_depth
+        else:
+            depth_rank = jnp.sum(
+                (frame.depth[None, :] < frame.depth[:, None]) & has_depth[None, :],
+                axis=1,
+            )
+            create = has_depth & ((frame.depth < th) | (depth_rank < 100))
         pc = cam_geo.backproject(frame.xy, frame.depth, self.K)
         Twc = se3.inverse(Tcw)
         pw = se3.apply(Twc, pc)
@@ -416,16 +429,35 @@ class Tracker:
             max_local_kfs=self.cfg.map.max_local_keyframes,
             max_local_points=self.cfg.map.max_local_points,
         )
-        cur_point_idx, visible = search_local_points(
-            st, lpts, lpts_mask, Tcw, cur_point_idx, frame, self.K,
-            self.scale_factors, self.bounds, jnp.float32(1.0),
-            num_levels=self.cfg.orb.num_levels,
-        )
-        obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
-        res = pose_opt.pose_optimize(Tcw, obs, self.K)
-        cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
-        n_inliers = int(res.num_inliers)
-        Tcw = res.Tcw
+        # two match->optimize passes. Pass 2 re-associates FROM SCRATCH at
+        # the refined pose with a tight radius: associations made around the
+        # velocity-extrapolated prediction are censored toward it, and
+        # carrying them forward lets prediction error compound frame over
+        # frame (loop gain > 1). A fresh tight re-match anchored on the
+        # refined pose breaks the cascade.
+        n_inliers = 0
+        visible = None
+        for it, (seed_bind, radius_mult) in enumerate(
+            [(cur_point_idx, 1.0), (None, 0.6)]
+        ):
+            bind = (
+                seed_bind
+                if seed_bind is not None
+                else jnp.full_like(cur_point_idx, -1)
+            )
+            bind, vis_it = search_local_points(
+                st, lpts, lpts_mask, Tcw, bind, frame, self.K,
+                self.scale_factors, self.bounds, jnp.float32(radius_mult),
+                num_levels=self.cfg.orb.num_levels,
+            )
+            visible = vis_it if visible is None else (visible | vis_it)
+            obs = build_pose_observations(bind, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+            res = pose_opt.pose_optimize(Tcw, obs, self.K)
+            bind = jnp.where(res.inliers, bind, -1)
+            if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
+                cur_point_idx = bind
+                n_inliers = int(res.num_inliers)
+                Tcw = res.Tcw
 
         st = update_seen_counters(
             st, lpts, visible,
@@ -502,5 +534,12 @@ class Tracker:
     # -- logging -----------------------------------------------------------
 
     def _log_pose(self, frame: FrameData, tracked: bool, Tcw=None):
-        T = np.asarray(Tcw if Tcw is not None else (self.last_Tcw if self.last_Tcw is not None else jnp.eye(4)))
-        self.trajectory.append((frame.timestamp, T, self.ref_kf, tracked))
+        """Log the pose RELATIVE to the current reference keyframe
+        (reference src/Tracking.cc:518-536 stores Tcr = Tcw * Trw^-1), so the
+        final trajectory picks up loop/BA corrections of keyframe poses."""
+        T = Tcw if Tcw is not None else (self.last_Tcw if self.last_Tcw is not None else jnp.eye(4))
+        if self.ref_kf >= 0:
+            Tcr = np.asarray(T @ se3.inverse(self.map.kf_Tcw[self.ref_kf]))
+        else:
+            Tcr = np.asarray(T)
+        self.trajectory.append((frame.timestamp, Tcr, self.ref_kf, tracked))

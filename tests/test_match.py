@@ -56,7 +56,7 @@ class TestBruteMatch:
         m = np.asarray(res.best_idx)
         ok = m >= 0
         n_matches = ok.sum()
-        assert n_matches > 80, n_matches
+        assert n_matches > 60, n_matches
 
         uv1_gt, d = gt_reproject(np.asarray(f0.xy), depth0, T0, T1, CFG.feature_slots)
         has_depth = d > 0
