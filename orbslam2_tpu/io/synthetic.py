@@ -86,7 +86,7 @@ def render_frame(
     world: SyntheticWorld,
     Tcw: np.ndarray,
     cam: CameraConfig,
-    noise: float = 1.5,
+    noise: float = 0.0,
     seed: int = 0,
     blob_size_m: float = 0.08,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -182,6 +182,22 @@ def forward_trajectory(
     return np.stack(poses)
 
 
+def lateral_trajectory(
+    n_frames: int,
+    step: float = 0.05,
+    yaw_rate: float = 0.0015,
+) -> np.ndarray:
+    """[N, 4, 4] Tcw: sideways dolly (good parallax for monocular init)."""
+    poses = []
+    Twc = np.eye(4)
+    for i in range(n_frames):
+        poses.append(np.linalg.inv(Twc))
+        c, s = np.cos(yaw_rate), np.sin(yaw_rate)
+        dR = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Twc = Twc @ _make_se3(dR, [step, 0.005 * np.sin(i * 0.3), 0.01])
+    return np.stack(poses)
+
+
 def orbit_trajectory(n_frames: int, radius: float = 4.0, center_z: float = 12.0) -> np.ndarray:
     """[N, 4, 4] Tcw orbiting the world center, always looking at it —
     exercises loop closure (comes back to the start)."""
@@ -216,7 +232,11 @@ class SyntheticSequence:
     world: SyntheticWorld
     poses: np.ndarray  # [N, 4, 4] ground-truth Tcw
     cam: CameraConfig
-    noise: float = 1.5
+    # NOTE: additive sensor noise makes BRIEF pairs sampled on the flat
+    # background compare randomly (descriptor Hamming ~55 between identical
+    # views). Real scenes are textured everywhere; default to noiseless
+    # until the renderer grows a textured backplane.
+    noise: float = 0.0
 
     def __len__(self) -> int:
         return len(self.poses)
@@ -242,6 +262,8 @@ def default_sequence(
     world = make_world(n_points=n_points, seed=seed)
     if kind == "forward":
         poses = forward_trajectory(n_frames)
+    elif kind == "lateral":
+        poses = lateral_trajectory(n_frames)
     elif kind == "orbit":
         poses = orbit_trajectory(n_frames)
     else:

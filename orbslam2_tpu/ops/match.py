@@ -210,12 +210,17 @@ def search_for_initialization(
     f2_valid: jnp.ndarray,
     f2_angle: jnp.ndarray,
     window: float = 100.0,
+    max_level: int = 0,
 ) -> MatchResult:
-    """Windowed level-0 search for monocular initialization
+    """Windowed search for monocular initialization
     (reference SearchForInitialization, src/ORBmatcher.cc:1055-1180:
-    100px window, level 0 only, ratio 0.9, TH_LOW, rotation check)."""
-    valid_a = f1_valid & (f1_octave == 0)
-    valid_b = f2_valid & (f2_octave == 0)
+    100px window, level 0 only, ratio 0.9, TH_LOW, rotation check).
+
+    `max_level` > 0 extends the search to coarser octaves — useful when the
+    scene's stable structure lives above level 0; coordinates are level-0
+    pixels either way so the geometry is unchanged."""
+    valid_a = f1_valid & (f1_octave <= max_level)
+    valid_b = f2_valid & (f2_octave <= max_level)
     gate = radius_gate(f1_xy, f2_xy, jnp.full(f1_xy.shape[0], window), valid_a, valid_b)
     return match_gated(
         f1_desc,

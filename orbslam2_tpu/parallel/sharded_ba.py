@@ -1,0 +1,182 @@
+"""Distributed bundle adjustment over a device mesh.
+
+The reference has no distributed capability at all (SURVEY.md §2b); this is
+the TPU-native scale-out of the BA core for maps too large for one chip
+(BASELINE.md: distributed global BA, KITTI-00 sharded, >= 70% scaling at 2
+hosts):
+
+* map POINTS (and their observation rows) are sharded across the mesh's
+  ``points`` axis — each device eliminates its own point blocks (batched
+  3x3 Schur) and builds a partial dense reduced camera system;
+* the [C, 6, C, 6] reduced system and rhs are `psum`-reduced over ICI —
+  the only collective in the loop (camera count C is small; the heavy
+  point-side work never crosses the interconnect);
+* the camera solve runs replicated on every device (cheaper than a
+  broadcast for small C), point back-substitution stays local.
+
+The same jitted step runs on 1 device (degenerate mesh) or N; only the
+Mesh construction differs (SURVEY.md §4 mesh-parametrized testing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry.camera import Intrinsics
+from orbslam2_tpu.solvers import ba as ba_core
+
+
+def _local_schur(prob: ba_core.BAProblem, K: Intrinsics, lam, use_kernel):
+    """Per-shard: residuals -> point elimination -> partial (S, g_S, cost).
+
+    Identical math to solvers/ba.py but returns the pieces to be psum-ed.
+    """
+    r, Jc, Jp, w, chi2, active = ba_core._edge_terms(
+        prob.cam_Tcw, prob.points, prob, K, use_kernel
+    )
+    is_stereo = prob.obs_ur >= 0
+    cost = ba_core._robust_cost(chi2, active, use_kernel, is_stereo)
+
+    C = prob.cam_Tcw.shape[0]
+    Pn, O = prob.obs_cam.shape
+    Wr = w[..., None] * r
+    Hpp = jnp.einsum("poij,po,poik->pjk", Jp, w, Jp)
+    gp = jnp.einsum("poij,poi->pj", Jp, Wr)
+    Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
+        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    )
+    det_ok = jnp.linalg.det(Hpp_d) > 1e-12
+    Hpp_inv = jnp.where(
+        det_ok[:, None, None],
+        jnp.linalg.inv(jnp.where(det_ok[:, None, None], Hpp_d, jnp.eye(3))),
+        0.0,
+    )
+    Hcc_blk = jnp.einsum("poij,po,poik->pojk", Jc, w, Jc)
+    gc_blk = jnp.einsum("poij,poi->poj", Jc, Wr)
+    Wcp = jnp.einsum("poij,po,poik->pojk", Jc, w, Jp)
+    cam_idx = prob.obs_cam
+    S = jnp.zeros((C, C, 6, 6)).at[cam_idx, cam_idx].add(Hcc_blk)
+    Y = jnp.einsum("poik,pkl->poil", Wcp, Hpp_inv)
+    cross = jnp.einsum("poil,pqml->poqim", Y, Wcp)
+    ci = jnp.broadcast_to(cam_idx[:, :, None], (Pn, O, O))
+    cj = jnp.broadcast_to(cam_idx[:, None, :], (Pn, O, O))
+    S = S.at[ci, cj].add(-cross)
+    g_c = jnp.zeros((C, 6)).at[cam_idx].add(gc_blk)
+    g_S = g_c - jnp.zeros((C, 6)).at[cam_idx].add(jnp.einsum("poil,pl->poi", Y, gp))
+    return S, g_S, cost, (Hpp_inv, gp, Wcp)
+
+
+def _solve_cams(S, g_S, prob: ba_core.BAProblem, lam):
+    C = prob.cam_Tcw.shape[0]
+    free = prob.cam_free
+    eye6 = jnp.eye(6)
+    S = S * (free[:, None, None, None] & free[None, :, None, None])
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        jnp.where(
+            free[:, None, None],
+            lam
+            * eye6
+            * jnp.maximum(
+                jnp.trace(S[jnp.arange(C), jnp.arange(C)], axis1=-2, axis2=-1)[
+                    :, None, None
+                ]
+                / 6.0,
+                1e-6,
+            ),
+            eye6,
+        )
+    )
+    g_S = g_S * free[:, None]
+    Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+    dx = jnp.linalg.solve(Sd, -g_S.reshape(C * 6))
+    dx_cam = dx.reshape(C, 6)
+    return jnp.where(
+        free[:, None] & jnp.all(jnp.isfinite(dx_cam), -1, keepdims=True), dx_cam, 0.0
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "iters", "use_kernel"))
+def sharded_bundle_adjust(
+    prob: ba_core.BAProblem,
+    K: Intrinsics,
+    mesh: Mesh,
+    iters: int = 10,
+    use_kernel: bool = True,
+    lam0: float = 1e-4,
+):
+    """LM bundle adjustment with the point axis sharded over `mesh`'s
+    'points' axis. Cameras are replicated; each iteration does exactly two
+    psum's (system reduction + cost). Returns (cam_Tcw, points, cost).
+    """
+    uk = jnp.asarray(use_kernel)
+    pspec = P("points")
+    spec_prob = ba_core.BAProblem(
+        cam_Tcw=P(), cam_free=P(),
+        points=pspec, point_valid=pspec,
+        obs_cam=pspec, obs_uv=pspec, obs_ur=pspec,
+        obs_inv_sigma2=pspec, obs_valid=pspec,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_prob,),
+        out_specs=(P(), pspec, P()),
+        check_vma=False,
+    )
+    def run(p_shard: ba_core.BAProblem):
+        def step(carry, _):
+            cam, pts, lam, cost = carry
+            local = p_shard._replace(cam_Tcw=cam, points=pts)
+            S, g_S, _, (Hpp_inv, gp, Wcp) = _local_schur(local, K, lam, uk)
+            S = jax.lax.psum(S, "points")
+            g_S = jax.lax.psum(g_S, "points")
+            dx_cam = _solve_cams(S, g_S, local, lam)
+            cam_new = se3.exp_se3(dx_cam) @ cam
+            dxc_obs = dx_cam[local.obs_cam]
+            Hpc_dx = jnp.einsum("pojk,poj->pk", Wcp, dxc_obs)
+            dp = jnp.einsum("pjk,pk->pj", Hpp_inv, -gp - Hpc_dx)
+            dp = jnp.where(jnp.all(jnp.isfinite(dp), -1, keepdims=True), dp, 0.0)
+            pts_new = pts + dp
+            # global robust cost for accept/reject
+            trial = p_shard._replace(cam_Tcw=cam_new, points=pts_new)
+            *_, chi2, active = ba_core._edge_terms(cam_new, pts_new, trial, K, uk)
+            new_cost = jax.lax.psum(
+                ba_core._robust_cost(chi2, active, uk, trial.obs_ur >= 0), "points"
+            )
+            accept = new_cost < cost
+            cam = jnp.where(accept, cam_new, cam)
+            pts = jnp.where(accept, pts_new, pts)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e3)
+            cost = jnp.where(accept, new_cost, cost)
+            return (cam, pts, lam, cost), None
+
+        *_, chi2_0, active_0 = ba_core._edge_terms(
+            p_shard.cam_Tcw, p_shard.points, p_shard, K, uk
+        )
+        cost0 = jax.lax.psum(
+            ba_core._robust_cost(chi2_0, active_0, uk, p_shard.obs_ur >= 0), "points"
+        )
+        (cam, pts, _, cost), _ = jax.lax.scan(
+            step,
+            (p_shard.cam_Tcw, p_shard.points, jnp.asarray(lam0), cost0),
+            None,
+            length=iters,
+        )
+        return cam, pts, cost
+
+    return run(prob)
+
+
+def make_points_mesh(n_devices: int | None = None) -> Mesh:
+    import numpy as np
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), ("points",))

@@ -31,6 +31,7 @@ from orbslam2_tpu.geometry import se3
 from orbslam2_tpu.ops import match
 from orbslam2_tpu.pipeline.frame import FrameBuilder, FrameData
 from orbslam2_tpu.slam_map import map_state as ms
+from orbslam2_tpu.solvers import initializer as mono_init
 from orbslam2_tpu.solvers import pose_opt
 
 LOG_SCALE = float(np.log(1.2))
@@ -295,6 +296,10 @@ class Tracker:
         self.frames_since_kf = 0
         self.last_inliers = 0
         self.new_keyframe_ids: list[int] = []
+        # monocular-initialization state (reference mInitialFrame /
+        # mvIniMatches, include/Tracking.h:98-104)
+        self.init_frame: Optional[FrameData] = None
+        self._init_key = jax.random.PRNGKey(cfg.seed)
         # per-frame trajectory log (reference mlRelativeFramePoses,
         # include/Tracking.h:112-115)
         self.trajectory: list[tuple[float, np.ndarray, int, bool]] = []
@@ -356,6 +361,83 @@ class Tracker:
         )
         return st, pids
 
+    def _monocular_initialize(self, frame: FrameData) -> bool:
+        """Two-view bootstrap (reference MonocularInitialization
+        src/Tracking.cc:604-685 + CreateInitialMapMonocular :687-788)."""
+        min_m = self.cfg.tracking.mono_init_min_matches
+        n_feat = int(jnp.sum(frame.valid))
+        if self.init_frame is None:
+            if n_feat > min_m:  # reference requires > 100 features
+                self.init_frame = frame
+            return False
+        f0 = self.init_frame
+        res = match.search_for_initialization(
+            f0.desc, f0.xy, f0.octave, f0.valid, f0.angle,
+            frame.desc, frame.xy, frame.octave, frame.valid, frame.angle,
+            max_level=self.cfg.orb.num_levels - 1,
+        )
+        n = int(res.num_matches)
+        if n < min_m:
+            self.init_frame = frame if n_feat >= min_m else None
+            return False
+        # align match arrays: per f0 slot -> frame slot
+        f2_idx = res.best_idx
+        matched = f2_idx >= 0
+        f2c = jnp.clip(f2_idx, 0, frame.xy.shape[0] - 1)
+        self._init_key, sub = jax.random.split(self._init_key)
+        init = mono_init.initialize(
+            f0.xy, frame.xy[f2c], matched, self.K, sub,
+            sigma=self.cfg.solver.init_sigma,
+            iters=self.cfg.solver.init_ransac_iters,
+        )
+        if not bool(init.success):
+            return False
+        good = init.good & matched
+        n_good = int(jnp.sum(good))
+        if n_good < min_m:
+            return False
+        # median-depth scale normalization (reference src/Tracking.cc:737-763)
+        z = init.points3d[:, 2]
+        med = jnp.nanmedian(jnp.where(good, z, jnp.nan))
+        inv_med = 1.0 / jnp.maximum(med, 1e-6)
+        pts = init.points3d * inv_med
+        T21 = init.T21.at[:3, 3].mul(inv_med)
+
+        S = frame.xy.shape[0]
+        st, kf0 = ms.add_keyframe(
+            self.map, jnp.int32(f0.frame_id), se3.identity(),
+            f0.xy, f0.ur, f0.depth, f0.octave, f0.angle,
+            f0.desc, f0.valid, jnp.full((S,), -1, jnp.int32),
+        )
+        st, kf1 = ms.add_keyframe(
+            st, jnp.int32(frame.frame_id), T21,
+            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+            frame.desc, frame.valid, jnp.full((S,), -1, jnp.int32),
+        )
+        # seed points bound to kf0's feature slots
+        rays = pts
+        dist = jnp.linalg.norm(rays, axis=-1)
+        normal = rays / jnp.maximum(dist[:, None], 1e-9)
+        nl = self.cfg.orb.num_levels
+        scale = self.scale_factors[jnp.clip(f0.octave, 0, nl - 1)]
+        max_d = dist * scale
+        min_d = max_d / float(self.cfg.orb.scale_factor ** (nl - 1))
+        st, pids = ms.add_points(
+            st, pts, good, kf0, jnp.arange(S, dtype=jnp.int32),
+            f0.desc, normal, min_d, max_d, jnp.full((S,), -1.0),
+        )
+        from orbslam2_tpu.pipeline import local_mapping as lm_mod
+
+        st = lm_mod.bind_points_to_kf(st, kf1, f2c.astype(jnp.int32), pids, pids >= 0)
+        st = ms.update_covisibility_row(st, kf1)
+        st = ms.recompute_point_stats(st, pids)
+        self.map = st
+        self.ref_kf = int(kf1)
+        self.last_Tcw = T21
+        self.last_point_idx = st.kf_point_idx[int(kf1)]
+        self.new_keyframe_ids.extend([int(kf0), int(kf1)])
+        return True
+
     # -- main entry --------------------------------------------------------
 
     def process(self, frame: FrameData) -> TrackResult:
@@ -369,6 +451,13 @@ class Tracker:
                     self.frames_since_kf = 0
                     self._log_pose(frame, True)
                     return TrackResult(np.eye(4), self.state, 0, True)
+            else:
+                if self._monocular_initialize(frame):
+                    self.state = TrackState.OK
+                    self.last_frame = frame
+                    self.frames_since_kf = 0
+                    self._log_pose(frame, True, self.last_Tcw)
+                    return TrackResult(np.asarray(self.last_Tcw), self.state, 0, True)
             self._log_pose(frame, False)
             return TrackResult(np.eye(4), TrackState.NOT_INITIALIZED, 0, False)
 
