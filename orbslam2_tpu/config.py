@@ -109,6 +109,9 @@ class TrackingConfig:
     min_inliers_local_after_reloc: int = 50
     # mono init needs >= 100 matches (reference src/Tracking.cc:617,636)
     mono_init_min_matches: int = 100
+    # minimum frames between keyframes (reference mMinFrames = 0; raise to
+    # damp insertion rate in the synchronous pipeline)
+    kf_min_gap: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

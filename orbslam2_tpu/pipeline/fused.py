@@ -1,0 +1,331 @@
+"""Fused per-frame and per-keyframe XLA programs.
+
+The functional building blocks in tracking.py/local_mapping.py are correct
+but dispatch-heavy: a frame touched dozens of separate jitted calls plus
+host synchronizations, and on TPU (especially through a remote-dispatch
+tunnel) per-call latency dominates wall-clock. This module fuses the
+pipeline into three large programs:
+
+* `track_step`   — motion-model AND reference-KF coarse tracking (both
+  branches computed, branchlessly selected), two local-map re-association /
+  pose-optimization passes, visibility counters. One call per frame; the
+  host reads back a handful of scalars for the keyframe policy.
+* `keyframe_step` — keyframe insertion, depth-seeded point creation,
+  covisibility update, triangulation against the top covisible neighbors
+  (lax.scan), bidirectional fusion, point-stat refresh.
+* `local_ba_step` — local-BA assembly + two-phase LM + write-back.
+
+The map pytree is donated in and out, so XLA updates buffers in place.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_tpu.geometry import camera as cam_geo
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.ops import match
+from orbslam2_tpu.pipeline import local_mapping as lm
+from orbslam2_tpu.pipeline import tracking as trk
+from orbslam2_tpu.pipeline.frame import FrameData
+from orbslam2_tpu.slam_map import map_state as ms
+from orbslam2_tpu.solvers import ba, pose_opt
+
+
+class TrackParams(NamedTuple):
+    """Static-ish per-session parameters passed as device scalars."""
+
+    scale_factors: jnp.ndarray
+    inv_sigma2: jnp.ndarray
+    bounds: jnp.ndarray          # [4] xmin, xmax, ymin, ymax
+    radius_th: jnp.ndarray       # motion-model base radius (7 or 15)
+    min_track: jnp.ndarray       # min inliers to accept a stage
+    close_depth: jnp.ndarray     # ThDepth * baseline
+
+
+class TrackOut(NamedTuple):
+    Tcw: jnp.ndarray
+    point_idx: jnp.ndarray
+    ok: jnp.ndarray              # bool: tracking healthy
+    n_inliers: jnp.ndarray
+    ref_tracked: jnp.ndarray
+    close_tracked: jnp.ndarray
+    close_free: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_local_kfs", "max_local_points", "num_levels"),
+    donate_argnums=(0,),
+)
+def track_step(
+    state: ms.MapState,
+    frame: FrameData,
+    last_xy,
+    last_point_idx,
+    last_octave,
+    last_angle,
+    last_desc,
+    last_Tcw,
+    velocity,
+    has_velocity,
+    ref_kf,
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    max_local_kfs: int = 80,
+    max_local_points: int = 4096,
+    num_levels: int = 8,
+) -> tuple[ms.MapState, TrackOut]:
+    """One fused tracking step (reference Track(), src/Tracking.cc:278-538,
+    minus keyframe creation)."""
+
+    # ---- coarse stage A: motion model at radius r, fallback 2r ----------
+    Tcw_pred = velocity @ last_Tcw
+    bind_r1, _ = trk.motion_model_match.__wrapped__(
+        Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
+        state.mp_pos, state.mp_valid, frame, K, p.scale_factors, p.radius_th,
+    )
+    bind_r2, _ = trk.motion_model_match.__wrapped__(
+        Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
+        state.mp_pos, state.mp_valid, frame, K, p.scale_factors, 2.0 * p.radius_th,
+    )
+    use_r1 = jnp.sum(bind_r1 >= 0) >= 20
+    bind_mm = jnp.where(use_r1, bind_r1, bind_r2)
+    obs_mm = trk.build_pose_observations.__wrapped__(
+        bind_mm, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
+    )
+    res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K)
+    ok_mm = has_velocity & (res_mm.num_inliers >= p.min_track) & (
+        jnp.sum(bind_mm >= 0) >= 20
+    )
+
+    # ---- coarse stage B: reference keyframe (always computed) -----------
+    bind_ref = trk.reference_kf_match.__wrapped__(
+        state.kf_desc[ref_kf], state.kf_point_idx[ref_kf],
+        state.kf_angle[ref_kf], state.kf_feat_valid[ref_kf],
+        state.mp_valid, frame,
+    )
+    obs_ref = trk.build_pose_observations.__wrapped__(
+        bind_ref, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
+    )
+    res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K)
+    ok_ref = res_ref.num_inliers >= p.min_track
+
+    # both branches are computed; take the better-supported one. (The
+    # motion-model associations are radius-censored around the prediction,
+    # so when the reference-KF match finds more inliers it is the safer
+    # anchor — this breaks the prediction-error feedback loop.)
+    use_mm = ok_mm & (~ok_ref | (res_mm.num_inliers >= res_ref.num_inliers))
+    Tcw = jnp.where(use_mm, res_mm.Tcw, res_ref.Tcw)
+    bind = jnp.where(use_mm, jnp.where(res_mm.inliers, bind_mm, -1),
+                     jnp.where(res_ref.inliers, bind_ref, -1))
+    coarse_ok = ok_mm | ok_ref
+
+    # ---- local map: gather + two association/optimization passes --------
+    lkf, lkf_mask, lpts, lpts_mask, _ = trk.gather_local_map.__wrapped__(
+        state, bind, max_local_kfs=max_local_kfs, max_local_points=max_local_points
+    )
+    bounds = (p.bounds[0], p.bounds[1], p.bounds[2], p.bounds[3])
+
+    def local_pass(Tcw, bind_seed, radius_mult):
+        b, vis = trk.search_local_points.__wrapped__(
+            state, lpts, lpts_mask, Tcw, bind_seed, frame, K,
+            p.scale_factors, bounds, radius_mult, num_levels=num_levels,
+        )
+        obs = trk.build_pose_observations.__wrapped__(
+            b, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
+        )
+        r = pose_opt.pose_optimize(Tcw, obs, K)
+        return r.Tcw, jnp.where(r.inliers, b, -1), r.num_inliers, vis
+
+    T1, b1, n1, vis1 = local_pass(Tcw, bind, jnp.float32(1.0))
+    acc1 = n1 >= p.min_track
+    T1s = jnp.where(acc1, T1, Tcw)
+    b1s = jnp.where(acc1, b1, bind)
+    T2, b2, n2, vis2 = local_pass(T1s, jnp.full_like(bind, -1), jnp.float32(0.6))
+    acc2 = n2 >= p.min_track
+    Tcw_f = jnp.where(acc2, T2, T1s)
+    bind_f = jnp.where(acc2, b2, b1s)
+    n_inl = jnp.where(acc2, n2, jnp.where(acc1, n1, jnp.int32(0)))
+
+    state = trk.update_seen_counters.__wrapped__(
+        state, lpts, vis1 | vis2,
+        jnp.clip(bind_f, 0, state.capacity_mp - 1), bind_f >= 0,
+    )
+
+    # ---- keyframe-policy scalars ---------------------------------------
+    ref_tracked = jnp.sum(
+        (state.kf_point_idx[ref_kf] >= 0) & state.kf_feat_valid[ref_kf]
+    )
+    close = (frame.depth > 0) & (frame.depth < p.close_depth) & frame.valid
+    close_tracked = jnp.sum(close & (bind_f >= 0))
+    close_free = jnp.sum(close & (bind_f < 0))
+
+    out = TrackOut(
+        Tcw=Tcw_f,
+        point_idx=bind_f,
+        ok=coarse_ok & (n_inl >= p.min_track),
+        n_inliers=n_inl,
+        ref_tracked=ref_tracked,
+        close_tracked=close_tracked,
+        close_free=close_free,
+    )
+    return state, out
+
+
+# ---------------------------------------------------------------------------
+# fused keyframe processing
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_neighbors", "num_levels", "create_close_points", "all_depths"),
+    donate_argnums=(0,),
+)
+def keyframe_step(
+    state: ms.MapState,
+    frame: FrameData,
+    Tcw,
+    point_idx,
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    level_sigma2,
+    scale_factor_last: float = 1.2**7,
+    baseline: float = 0.1,
+    covis_threshold: int = 15,
+    n_neighbors: int = 5,
+    num_levels: int = 8,
+    create_close_points: bool = True,
+    all_depths: bool = False,
+) -> tuple[ms.MapState, jnp.ndarray, jnp.ndarray]:
+    """Insert a keyframe and run the mapping stages (reference
+    LocalMapping::Run body, src/LocalMapping.cc:48-97, sans BA).
+
+    Returns (state, kf_id, new_point_ids [n_neighbors*S])."""
+    S = frame.xy.shape[0]
+
+    # 1) insert keyframe with current bindings
+    state, kf_id = ms.add_keyframe.__wrapped__(
+        state, jnp.int32(frame.frame_id), Tcw,
+        frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+        frame.desc, frame.valid, point_idx,
+    )
+
+    # 2) depth-seeded points (stereo/RGB-D; reference src/Tracking.cc:1168-1216)
+    if create_close_points:
+        has_depth = frame.valid & (frame.depth > 0) & (point_idx < 0)
+        if all_depths:
+            create = has_depth
+        else:
+            depth_rank = jnp.sum(
+                (frame.depth[None, :] < frame.depth[:, None]) & has_depth[None, :],
+                axis=1,
+            )
+            create = has_depth & ((frame.depth < p.close_depth) | (depth_rank < 100))
+        pc = cam_geo.backproject(frame.xy, frame.depth, K)
+        pw = se3.apply(se3.inverse(Tcw), pc)
+        Ow = se3.camera_center(Tcw)
+        rays = pw - Ow
+        dist = jnp.linalg.norm(rays, axis=-1)
+        normal = rays / jnp.maximum(dist[:, None], 1e-9)
+        scl = p.scale_factors[jnp.clip(frame.octave, 0, num_levels - 1)]
+        max_d = dist * scl
+        state, _ = ms.add_points.__wrapped__(
+            state, pw, create, kf_id, jnp.arange(S, dtype=jnp.int32),
+            frame.desc, normal, max_d / scale_factor_last, max_d, frame.ur,
+        )
+
+    # 3) triangulate against top covisible neighbors (scan, fixed count)
+    w = state.covis[kf_id] * state.kf_valid
+    _, neigh = jax.lax.top_k(w, n_neighbors)
+    neigh_ok = w[neigh] >= covis_threshold
+
+    def triangulate_one(st: ms.MapState, args):
+        nkf, ok_n = args
+        f2, pw, ok, dist1 = lm.triangulate_pair.__wrapped__(
+            st, kf_id, nkf, K, p.scale_factors, level_sigma2,
+            jnp.float32(baseline), num_levels=num_levels,
+        )
+        ok = ok & ok_n & (st.kf_point_idx[kf_id] < 0)
+        octv = st.kf_octave[kf_id]
+        scl = p.scale_factors[jnp.clip(octv, 0, num_levels - 1)]
+        max_d = dist1 * scl
+        c1 = se3.camera_center(st.kf_Tcw[kf_id])
+        rays = pw - c1
+        normal = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+        st, pids = ms.add_points.__wrapped__(
+            st, pw, ok, kf_id, jnp.arange(S, dtype=jnp.int32),
+            st.kf_desc[kf_id], normal, max_d / scale_factor_last, max_d,
+            st.kf_ur[kf_id],
+        )
+        st = lm.bind_points_to_kf.__wrapped__(st, nkf, f2, pids, pids >= 0)
+        return st, pids
+
+    state, new_pids = jax.lax.scan(
+        triangulate_one, state, (neigh, neigh_ok)
+    )
+    new_pids = new_pids.reshape(-1)
+
+    # 4) fuse with neighbors, both directions
+    bounds = (p.bounds[0], p.bounds[1], p.bounds[2], p.bounds[3])
+
+    def fuse_one(st: ms.MapState, args):
+        nkf, ok_n = args
+        mine = jnp.where(ok_n, st.kf_point_idx[kf_id], -1)
+        st = lm.fuse_points_into_kf.__wrapped__(
+            st, mine, mine >= 0, nkf, K, p.scale_factors, bounds,
+            num_levels=num_levels,
+        )
+        theirs = jnp.where(ok_n, st.kf_point_idx[nkf], -1)
+        st = lm.fuse_points_into_kf.__wrapped__(
+            st, theirs, theirs >= 0, kf_id, K, p.scale_factors, bounds,
+            num_levels=num_levels,
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(fuse_one, state, (neigh, neigh_ok))
+
+    # 5) refresh stats of this KF's bound points + the new ones
+    state = ms.recompute_point_stats.__wrapped__(state, state.kf_point_idx[kf_id])
+    state = ms.recompute_point_stats.__wrapped__(state, new_pids[: 2 * S])
+    return state, kf_id, new_pids
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_local", "max_fixed", "max_points", "obs_slots",
+                     "iters1", "iters2"),
+    donate_argnums=(0,),
+)
+def local_ba_step(
+    state: ms.MapState,
+    kf_id,
+    inv_sigma2,
+    K: cam_geo.Intrinsics,
+    max_local: int = 32,
+    max_fixed: int = 64,
+    max_points: int = 8192,
+    obs_slots: int = 16,
+    iters1: int = 5,
+    iters2: int = 10,
+) -> ms.MapState:
+    """Assembly + two-phase LM + write-back as one program."""
+    prob, cam_ids, cam_present, pts, pt_ok = lm.build_local_ba_problem.__wrapped__(
+        state, kf_id, inv_sigma2,
+        max_local=max_local, max_fixed=max_fixed,
+        max_points=max_points, obs_slots=obs_slots,
+    )
+    res1 = ba.bundle_adjust.__wrapped__(prob, K, iters=iters1, use_kernel=True)
+    prob2 = prob._replace(
+        cam_Tcw=res1.cam_Tcw, points=res1.points,
+        obs_valid=prob.obs_valid & res1.obs_inlier,
+    )
+    res2 = ba.bundle_adjust.__wrapped__(prob2, K, iters=iters2, use_kernel=False)
+    return lm.writeback_local_ba.__wrapped__(
+        state, res2, prob, cam_ids, cam_present, pts, pt_ok
+    )

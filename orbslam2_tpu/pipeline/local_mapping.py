@@ -493,6 +493,8 @@ def writeback_local_ba(
 
 
 class LocalMapper:
+    RECENT_WINDOW = 4096  # fixed-size probation window (static jit shape)
+
     def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics, bounds):
         self.cfg = cfg
         self.K = K
@@ -503,6 +505,37 @@ class LocalMapper:
         self.level_sigma2 = jnp.asarray([sf ** (2 * i) for i in range(nl)], jnp.float32)
         self.inv_sigma2 = 1.0 / self.level_sigma2
         self.recent_points = np.zeros((0,), np.int32)
+        self.n_keyframes = 0
+
+    def post_keyframe(self, state: ms.MapState, kf_id: int, new_pids) -> ms.MapState:
+        """Fused-pipeline companion: probation culling + local BA after the
+        fused keyframe step (reference MapPointCulling + LocalBundleAdjustment,
+        src/LocalMapping.cc:68,88)."""
+        from orbslam2_tpu.pipeline import fused
+
+        self.n_keyframes += 1
+        W = self.RECENT_WINDOW
+        if len(self.recent_points):
+            window = np.full(W, -1, np.int32)
+            n = min(len(self.recent_points), W)
+            window[:n] = self.recent_points[-n:]
+            state, keep = cull_points(state, jnp.asarray(window), jnp.int32(kf_id))
+            kept = np.asarray(keep)[:n]
+            self.recent_points = self.recent_points[-n:][kept]
+        fresh = np.asarray(new_pids)
+        fresh = fresh[fresh >= 0].astype(np.int32)
+        if len(fresh):
+            self.recent_points = np.concatenate([self.recent_points, fresh])[-W:]
+
+        if int(state.num_kf) >= 3:
+            sc = self.cfg.solver
+            state = fused.local_ba_step(
+                state, jnp.int32(kf_id), self.inv_sigma2, self.K,
+                max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
+                max_points=sc.ba_max_points, obs_slots=int(state.obs_slots),
+                iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
+            )
+        return state
 
     def process_keyframe(self, state: ms.MapState, kf_id: int, run_ba: bool = True) -> ms.MapState:
         cfg = self.cfg

@@ -62,15 +62,48 @@ class System:
         self.tracker.map = self.map
         res = self.tracker.process(frame)
         self.map = self.tracker.map
-        if res.is_keyframe and self.enable_mapping and not self.localization_only:
-            kf_id = self.tracker.new_keyframe_ids[-1]
-            self.map = self.local_mapper.process_keyframe(self.map, kf_id)
+        if (
+            self.tracker.kf_request is not None
+            and self.enable_mapping
+            and not self.localization_only
+        ):
+            kf_frame, kf_Tcw, kf_bind = self.tracker.kf_request
+            self.tracker.kf_request = None
+            kf_id = self._run_keyframe_pipeline(kf_frame, kf_Tcw, kf_bind)
             self.tracker.map = self.map
-            # keyframe poses may have moved in BA: refresh tracker's anchors
+            self.tracker.on_new_keyframe(kf_id)
+            # keyframe pose may have moved in BA: refresh tracker anchors and
+            # drop the motion model (velocity was estimated against pre-BA
+            # poses; extrapolating it against the corrected pose compounds)
             self.tracker.last_Tcw = self.map.kf_Tcw[kf_id]
+            self.tracker.last_point_idx = self.map.kf_point_idx[kf_id]
             self.tracker.velocity = None
+        else:
+            self.tracker.kf_request = None
         self.results.append(res)
         return res.Tcw
+
+    def _run_keyframe_pipeline(self, frame, Tcw, point_idx) -> int:
+        """Fused keyframe insertion + mapping + local BA (the synchronous
+        analogue of the reference's LocalMapping thread iteration)."""
+        from orbslam2_tpu.pipeline import fused
+
+        t = self.tracker
+        cfg = self.cfg
+        state, kf_dev, new_pids = fused.keyframe_step(
+            self.map, frame, Tcw, point_idx, self.builder.K, t._params,
+            self.local_mapper.level_sigma2,
+            scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
+            baseline=float(cfg.camera.baseline),
+            covis_threshold=cfg.map.covis_threshold,
+            n_neighbors=5,
+            num_levels=cfg.orb.num_levels,
+            create_close_points=cfg.sensor != Sensor.MONOCULAR,
+        )
+        kf_id = int(kf_dev)
+        state = self.local_mapper.post_keyframe(state, kf_id, new_pids)
+        self.map = state
+        return kf_id
 
     # -- mode switches (reference src/System.cc:272-284) -------------------
 

@@ -295,6 +295,11 @@ class Tracker:
         self.ref_kf: int = -1
         self.frames_since_kf = 0
         self.last_inliers = 0
+        self.n_keyframes = 0
+        self._params = None
+        self._ref_pose_np = np.eye(4)
+        # set when the policy requests a keyframe; consumed by System
+        self.kf_request = None
         self.new_keyframe_ids: list[int] = []
         # monocular-initialization state (reference mInitialFrame /
         # mvIniMatches, include/Tracking.h:98-104)
@@ -324,6 +329,8 @@ class Tracker:
         self.ref_kf = int(kf0)
         self.last_point_idx = st.kf_point_idx[int(kf0)]
         self.new_keyframe_ids.append(int(kf0))
+        self.n_keyframes = 1
+        self._ref_pose_np = np.eye(4)
         return True
 
     def _create_depth_points(self, st, kf_id, frame: FrameData, Tcw, existing_bind,
@@ -436,6 +443,8 @@ class Tracker:
         self.last_Tcw = T21
         self.last_point_idx = st.kf_point_idx[int(kf1)]
         self.new_keyframe_ids.extend([int(kf0), int(kf1)])
+        self.n_keyframes = 2
+        self._ref_pose_np = np.asarray(T21)
         return True
 
     # -- main entry --------------------------------------------------------
@@ -461,112 +470,57 @@ class Tracker:
             self._log_pose(frame, False)
             return TrackResult(np.eye(4), TrackState.NOT_INITIALIZED, 0, False)
 
-        st = self.map
-        # ---- coarse pose: motion model, else reference KF ----
-        ok = False
-        cur_point_idx = None
-        Tcw = self.last_Tcw
-        if self.velocity is not None:
-            Tcw_pred = self.velocity @ self.last_Tcw
-            radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-            cur_point_idx, _ = motion_model_match(
-                Tcw_pred,
-                self.last_frame.xy, self.last_point_idx,
-                self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
-                st.mp_pos, st.mp_valid, frame, self.K, self.scale_factors,
-                jnp.float32(radius_th),
-            )
-            n = int(jnp.sum(cur_point_idx >= 0))
-            if n < 20:  # widen like the reference (src/Tracking.cc:950-956)
-                cur_point_idx, _ = motion_model_match(
-                    Tcw_pred,
-                    self.last_frame.xy, self.last_point_idx,
-                    self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
-                    st.mp_pos, st.mp_valid, frame, self.K, self.scale_factors,
-                    jnp.float32(2 * radius_th),
-                )
-                n = int(jnp.sum(cur_point_idx >= 0))
-            if n >= 20:
-                obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
-                res = pose_opt.pose_optimize(Tcw_pred, obs, self.K)
-                cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
-                if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
-                    Tcw, ok = res.Tcw, True
-        if not ok:
-            # reference-KF fallback
-            cur_point_idx = reference_kf_match(
-                st.kf_desc[self.ref_kf], st.kf_point_idx[self.ref_kf],
-                st.kf_angle[self.ref_kf], st.kf_feat_valid[self.ref_kf],
-                st.mp_valid, frame,
-            )
-            n = int(jnp.sum(cur_point_idx >= 0))
-            if n >= self.cfg.tracking.min_matches_ref:
-                obs = build_pose_observations(cur_point_idx, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
-                res = pose_opt.pose_optimize(self.last_Tcw, obs, self.K)
-                cur_point_idx = jnp.where(res.inliers, cur_point_idx, -1)
-                if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
-                    Tcw, ok = res.Tcw, True
-        if not ok:
-            self.state = TrackState.LOST
-            self.velocity = None
-            self._log_pose(frame, False)
-            return TrackResult(np.asarray(self.last_Tcw), self.state, 0, False)
+        # ---- fused per-frame step (pipeline/fused.py) ----
+        from orbslam2_tpu.pipeline import fused
 
-        # ---- local map refinement ----
-        lkf, lkf_mask, lpts, lpts_mask, _ = gather_local_map(
-            st, cur_point_idx,
+        if self._params is None:
+            radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+            self._params = fused.TrackParams(
+                scale_factors=self.scale_factors,
+                inv_sigma2=self.inv_sigma2,
+                bounds=jnp.asarray(self.bounds, jnp.float32),
+                radius_th=jnp.float32(radius_th),
+                min_track=jnp.int32(self.cfg.tracking.min_inliers_track),
+                close_depth=jnp.float32(
+                    self.cfg.tracking.th_depth * self.cfg.camera.baseline
+                ),
+            )
+        velocity = self.velocity if self.velocity is not None else jnp.eye(4)
+        st, out = fused.track_step(
+            self.map, frame,
+            self.last_frame.xy, self.last_point_idx,
+            self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
+            self.last_Tcw, velocity,
+            jnp.asarray(self.velocity is not None),
+            jnp.int32(self.ref_kf), self.K, self._params,
             max_local_kfs=self.cfg.map.max_local_keyframes,
             max_local_points=self.cfg.map.max_local_points,
-        )
-        # two match->optimize passes. Pass 2 re-associates FROM SCRATCH at
-        # the refined pose with a tight radius: associations made around the
-        # velocity-extrapolated prediction are censored toward it, and
-        # carrying them forward lets prediction error compound frame over
-        # frame (loop gain > 1). A fresh tight re-match anchored on the
-        # refined pose breaks the cascade.
-        n_inliers = 0
-        visible = None
-        for it, (seed_bind, radius_mult) in enumerate(
-            [(cur_point_idx, 1.0), (None, 0.6)]
-        ):
-            bind = (
-                seed_bind
-                if seed_bind is not None
-                else jnp.full_like(cur_point_idx, -1)
-            )
-            bind, vis_it = search_local_points(
-                st, lpts, lpts_mask, Tcw, bind, frame, self.K,
-                self.scale_factors, self.bounds, jnp.float32(radius_mult),
-                num_levels=self.cfg.orb.num_levels,
-            )
-            visible = vis_it if visible is None else (visible | vis_it)
-            obs = build_pose_observations(bind, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
-            res = pose_opt.pose_optimize(Tcw, obs, self.K)
-            bind = jnp.where(res.inliers, bind, -1)
-            if int(res.num_inliers) >= self.cfg.tracking.min_inliers_track:
-                cur_point_idx = bind
-                n_inliers = int(res.num_inliers)
-                Tcw = res.Tcw
-
-        st = update_seen_counters(
-            st, lpts, visible,
-            jnp.clip(cur_point_idx, 0, st.capacity_mp - 1), cur_point_idx >= 0,
+            num_levels=self.cfg.orb.num_levels,
         )
         self.map = st
+        # single host sync for everything the policy needs
+        Tcw_np, ok, n_inliers, ref_tracked, close_t, close_f = jax.device_get(
+            (out.Tcw, out.ok, out.n_inliers, out.ref_tracked,
+             out.close_tracked, out.close_free)
+        )
+        ok = bool(ok)
+        n_inliers = int(n_inliers)
+        Tcw = out.Tcw
+        cur_point_idx = out.point_idx
 
-        if n_inliers < self.cfg.tracking.min_inliers_local:
+        if not ok or n_inliers < self.cfg.tracking.min_inliers_local:
             self.state = TrackState.LOST
             self.velocity = None
             self._log_pose(frame, False)
-            return TrackResult(np.asarray(Tcw), self.state, n_inliers, False)
+            return TrackResult(Tcw_np, self.state, n_inliers, False)
 
         self.state = TrackState.OK
         # motion model (reference src/Tracking.cc:447-456)
         self.velocity = Tcw @ se3.inverse(self.last_Tcw)
 
         # ---- keyframe policy ----
-        if self._need_new_keyframe(frame, cur_point_idx, n_inliers):
-            self._create_new_keyframe(frame, Tcw, cur_point_idx)
+        if self._need_new_keyframe(n_inliers, int(ref_tracked), int(close_t), int(close_f)):
+            self.kf_request = (frame, Tcw, cur_point_idx)
             is_kf = True
             self.frames_since_kf = 0
         else:
@@ -576,59 +530,55 @@ class Tracker:
         self.last_frame = frame
         self.last_point_idx = cur_point_idx
         self.last_inliers = n_inliers
-        self._log_pose(frame, True, Tcw)
-        return TrackResult(np.asarray(Tcw), self.state, n_inliers, is_kf)
+        self._log_pose(frame, True, Tcw_np)
+        return TrackResult(Tcw_np, self.state, n_inliers, is_kf)
 
     # -- keyframe policy ---------------------------------------------------
 
-    def _need_new_keyframe(self, frame: FrameData, point_idx, n_inliers) -> bool:
-        """Condensed version of reference src/Tracking.cc:1049-1139."""
-        min_gap = 0
+    def _need_new_keyframe(self, n_inliers, ref_tracked, close_tracked, close_free) -> bool:
+        """Condensed version of reference src/Tracking.cc:1049-1139, fed by
+        scalars computed inside the fused track step."""
+        min_gap = self.cfg.tracking.kf_min_gap
         max_gap = max(int(self.cfg.camera.fps) // 2, 5)
-        ref_tracked = int(
-            jnp.sum(
-                (self.map.kf_point_idx[self.ref_kf] >= 0)
-                & self.map.kf_feat_valid[self.ref_kf]
-            )
-        )
         ratio = 0.75 if self.cfg.sensor != Sensor.MONOCULAR else 0.9
-        if int(self.map.num_kf) <= 2:
+        if self.n_keyframes <= 2:
             ratio = 0.4
         need_ratio = n_inliers < ratio * max(ref_tracked, 1)
-        # stereo/RGB-D: many close points not yet in the map
-        close_cond = False
-        if self.cfg.sensor != Sensor.MONOCULAR:
-            th = self.cfg.tracking.th_depth * self.cfg.camera.baseline
-            close_tracked = int(jnp.sum((point_idx >= 0) & (frame.depth > 0) & (frame.depth < th)))
-            close_free = int(jnp.sum((point_idx < 0) & (frame.depth > 0) & (frame.depth < th) & frame.valid))
-            close_cond = close_tracked < 100 and close_free > 70
+        close_cond = (
+            self.cfg.sensor != Sensor.MONOCULAR
+            and close_tracked < 100
+            and close_free > 70
+        )
         c1 = self.frames_since_kf >= max_gap
         c2 = (need_ratio or close_cond) and self.frames_since_kf >= min_gap
         return (c1 or c2) and n_inliers > 15
 
-    def _create_new_keyframe(self, frame: FrameData, Tcw, point_idx):
-        st, kf = ms.add_keyframe(
-            self.map, jnp.int32(frame.frame_id), Tcw,
-            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
-            frame.desc, frame.valid, point_idx,
-        )
-        kf_id = int(kf)
-        if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
-            st, _ = self._create_depth_points(st, kf_id, frame, Tcw, point_idx)
-        self.map = st
+    def on_new_keyframe(self, kf_id: int):
+        """Bookkeeping after the (fused) keyframe step ran."""
         self.ref_kf = kf_id
-        self.last_point_idx = st.kf_point_idx[kf_id]
+        self.n_keyframes += 1
         self.new_keyframe_ids.append(kf_id)
+        self.last_point_idx = self.map.kf_point_idx[kf_id]
+        self.refresh_ref_pose()
+
+    def refresh_ref_pose(self):
+        """Pull the current reference-KF pose to host (used to log poses
+        relative to the reference; called after BA moves keyframes)."""
+        if self.ref_kf >= 0:
+            self._ref_pose_np = np.asarray(self.map.kf_Tcw[self.ref_kf])
 
     # -- logging -----------------------------------------------------------
 
     def _log_pose(self, frame: FrameData, tracked: bool, Tcw=None):
         """Log the pose RELATIVE to the current reference keyframe
         (reference src/Tracking.cc:518-536 stores Tcr = Tcw * Trw^-1), so the
-        final trajectory picks up loop/BA corrections of keyframe poses."""
-        T = Tcw if Tcw is not None else (self.last_Tcw if self.last_Tcw is not None else jnp.eye(4))
+        final trajectory picks up loop/BA corrections of keyframe poses.
+        Pure host math against the cached reference pose — no device sync."""
+        T = np.asarray(Tcw) if Tcw is not None else (
+            np.asarray(self.last_Tcw) if self.last_Tcw is not None else np.eye(4)
+        )
         if self.ref_kf >= 0:
-            Tcr = np.asarray(T @ se3.inverse(self.map.kf_Tcw[self.ref_kf]))
+            Tcr = T @ np.linalg.inv(self._ref_pose_np)
         else:
-            Tcr = np.asarray(T)
+            Tcr = T
         self.trajectory.append((frame.timestamp, Tcr, self.ref_kf, tracked))
