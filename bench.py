@@ -17,7 +17,13 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    os.makedirs("/root/.cache/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from orbslam2_tpu.config import (
         CameraConfig,
@@ -38,14 +44,35 @@ def main():
         map=MapConfig(max_keyframes=64, max_points=16384, max_local_points=4096),
         tracking=TrackingConfig(th_depth=100.0),
     )
-    n_frames = 40
-    warmup = 8
+    profile = "--profile" in sys.argv
+    n_frames = 24 if profile else 40
+    warmup = 6 if profile else 8
     seq = synthetic.default_sequence(
         n_frames=n_frames, kind="forward", n_points=3000, cam=cfg.camera
     )
     frames = [seq.frame(i) for i in range(n_frames)]
 
-    slam = System(cfg)
+    slam = System(cfg, enable_loop_closing=False)
+    if profile:
+        import time as _time
+
+        from orbslam2_tpu.pipeline import fused as _fused
+
+        stage_times: dict[str, list] = {}
+
+        def _wrap(name, fn):
+            def inner(*a, **k):
+                t0 = _time.perf_counter()
+                out = fn(*a, **k)
+                jax.block_until_ready(out)
+                stage_times.setdefault(name, []).append(_time.perf_counter() - t0)
+                return out
+
+            return inner
+
+        _fused.track_step = _wrap("track", _fused.track_step)
+        _fused.keyframe_step = _wrap("keyframe", _fused.keyframe_step)
+        _fused.local_ba_step = _wrap("local_ba", _fused.local_ba_step)
     # warmup: triggers all compilations (extract, match, pose opt, BA)
     for i in range(warmup):
         img, depth = frames[i]
@@ -59,6 +86,14 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = (n_frames - warmup) / dt
+    if profile:
+        for name, vals in stage_times.items():
+            tail = vals[max(len(vals) // 2, 1):] or vals
+            print(
+                f"# {name}: n={len(vals)} first={vals[0]*1e3:.0f}ms "
+                f"steady={np.median(tail)*1e3:.0f}ms",
+                file=sys.stderr,
+            )
     ts, poses, tracked = slam.frame_poses()
     rmse = ate_rmse(poses, seq.poses) if tracked.all() else float("nan")
 

@@ -155,6 +155,10 @@ class VocabConfig:
 
     branching: int = 10
     depth: int = 4                      # 10^4 = 10k leaves (dense-matmul friendly)
+    # flat-codebook size actually used by the TPU build (vocab/bow.py —
+    # the hierarchical tree is a CPU artifact; a flat codebook is exact)
+    vocab_size: int = 1024
+    train_iters: int = 6
     seed: int = 0
     # loop/reloc candidate capacities
     max_candidates: int = 16

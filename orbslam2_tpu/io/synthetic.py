@@ -198,6 +198,15 @@ def lateral_trajectory(
     return np.stack(poses)
 
 
+def outback_trajectory(n_frames: int, step: float = 0.06, yaw_rate: float = 0.002) -> np.ndarray:
+    """[N, 4, 4] Tcw: dolly out for half the frames, then retrace the same
+    path back — guaranteed revisits for loop closure / relocalization."""
+    half = forward_trajectory(n_frames // 2 + 1, step=step, yaw_rate=yaw_rate)
+    back = half[::-1][1:]
+    full = np.concatenate([half, back])[:n_frames]
+    return full
+
+
 def orbit_trajectory(n_frames: int, radius: float = 4.0, center_z: float = 12.0) -> np.ndarray:
     """[N, 4, 4] Tcw orbiting the world center, always looking at it —
     exercises loop closure (comes back to the start)."""
@@ -266,6 +275,8 @@ def default_sequence(
         poses = lateral_trajectory(n_frames)
     elif kind == "orbit":
         poses = orbit_trajectory(n_frames)
+    elif kind == "outback":
+        poses = outback_trajectory(n_frames)
     else:
         raise ValueError(kind)
     return SyntheticSequence(world=world, poses=poses, cam=cam)

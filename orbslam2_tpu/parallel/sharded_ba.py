@@ -57,18 +57,24 @@ def _local_schur(prob: ba_core.BAProblem, K: Intrinsics, lam, use_kernel):
         jnp.linalg.inv(jnp.where(det_ok[:, None, None], Hpp_d, jnp.eye(3))),
         0.0,
     )
+    # one-hot matmul assembly (see solvers/ba.py: TPU scatters serialize)
+    hi = jax.lax.Precision.HIGHEST
     Hcc_blk = jnp.einsum("poij,po,poik->pojk", Jc, w, Jc)
     gc_blk = jnp.einsum("poij,poi->poj", Jc, Wr)
     Wcp = jnp.einsum("poij,po,poik->pojk", Jc, w, Jp)
     cam_idx = prob.obs_cam
-    S = jnp.zeros((C, C, 6, 6)).at[cam_idx, cam_idx].add(Hcc_blk)
+    E = jax.nn.one_hot(cam_idx, C, dtype=r.dtype)
+    Nf = Pn * O
+    Ef = E.reshape(Nf, C)
+    S_diag = jnp.einsum("nc,nx->cx", Ef, Hcc_blk.reshape(Nf, 36), precision=hi).reshape(C, 6, 6)
+    S = jnp.zeros((C, C, 6, 6)).at[jnp.arange(C), jnp.arange(C)].add(S_diag)
     Y = jnp.einsum("poik,pkl->poil", Wcp, Hpp_inv)
-    cross = jnp.einsum("poil,pqml->poqim", Y, Wcp)
-    ci = jnp.broadcast_to(cam_idx[:, :, None], (Pn, O, O))
-    cj = jnp.broadcast_to(cam_idx[:, None, :], (Pn, O, O))
-    S = S.at[ci, cj].add(-cross)
-    g_c = jnp.zeros((C, 6)).at[cam_idx].add(gc_blk)
-    g_S = g_c - jnp.zeros((C, 6)).at[cam_idx].add(jnp.einsum("poil,pl->poi", Y, gp))
+    GY = jnp.einsum("poc,poil->pcil", E, Y, precision=hi)
+    GW = jnp.einsum("poc,poil->pcil", E, Wcp, precision=hi)
+    S = S - jnp.einsum("pcil,pdjl->cdij", GY, GW, precision=hi)
+    g_c = jnp.einsum("nc,nx->cx", Ef, gc_blk.reshape(Nf, 6), precision=hi)
+    g_red = jnp.einsum("poil,pl->poi", Y, gp)
+    g_S = g_c - jnp.einsum("nc,nx->cx", Ef, g_red.reshape(Nf, 6), precision=hi)
     return S, g_S, cost, (Hpp_inv, gp, Wcp)
 
 

@@ -487,6 +487,54 @@ def writeback_local_ba(
     return st
 
 
+@partial(jax.jit, static_argnames=("max_points", "obs_slots"))
+def build_global_ba_problem(
+    state: ms.MapState,
+    inv_sigma2,
+    max_points: int = 32768,
+    obs_slots: int = 16,
+):
+    """Assemble the FULL map as one BAProblem: every valid keyframe is a
+    free camera (KF0 fixed for gauge, reference src/Optimizer.cc:97-100),
+    every valid point with its observation rows.
+
+    Returns the same tuple shape as build_local_ba_problem so
+    writeback_local_ba applies unchanged.
+    """
+    Kcap = state.capacity_kf
+    P = state.capacity_mp
+    cam_ids = jnp.arange(Kcap, dtype=jnp.int32)
+    cam_present = state.kf_valid
+    cam_free = state.kf_valid & (cam_ids != 0)
+
+    pts = jnp.arange(min(max_points, P), dtype=jnp.int32)
+    pt_ok = state.mp_valid[pts]
+
+    obs_kf = state.mp_obs_kf[pts][:, :obs_slots]
+    obs_ft = state.mp_obs_feat[pts][:, :obs_slots]
+    obs_live = (obs_kf >= 0) & pt_ok[:, None]
+    okf = jnp.clip(obs_kf, 0, Kcap - 1)
+    obs_ok = obs_live & state.kf_valid[okf]
+    ftc = jnp.clip(obs_ft, 0, state.kf_xy.shape[1] - 1)
+    uv = state.kf_xy[okf, ftc]
+    ur = state.kf_ur[okf, ftc]
+    octv = state.kf_octave[okf, ftc]
+    isig = inv_sigma2[jnp.clip(octv, 0, inv_sigma2.shape[0] - 1)]
+
+    prob = ba.BAProblem(
+        cam_Tcw=state.kf_Tcw,
+        cam_free=cam_free,
+        points=state.mp_pos[pts],
+        point_valid=pt_ok,
+        obs_cam=okf,
+        obs_uv=uv,
+        obs_ur=jnp.where(obs_ok, ur, -1.0),
+        obs_inv_sigma2=isig,
+        obs_valid=obs_ok,
+    )
+    return prob, cam_ids, cam_present, pts, pt_ok
+
+
 # ---------------------------------------------------------------------------
 # host-side local mapper
 # ---------------------------------------------------------------------------

@@ -34,15 +34,25 @@ class System:
         slam.save_trajectory_tum("out.txt")
     """
 
-    def __init__(self, cfg: SlamConfig, enable_mapping: bool = True):
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        enable_mapping: bool = True,
+        enable_loop_closing: bool = True,
+    ):
         self.cfg = cfg
         self.builder = FrameBuilder(cfg)
         self.map = ms.allocate(cfg.map, cfg.orb)
         self.tracker = Tracker(cfg, self.builder, self.map)
         self.local_mapper = LocalMapper(cfg, self.builder.K, self.tracker.bounds)
         self.enable_mapping = enable_mapping
+        self.enable_loop_closing = enable_loop_closing
         self.localization_only = False
         self.results: list[TrackResult] = []
+        # loop closer is created lazily: its vocabulary is trained on the
+        # first keyframe's descriptors (no shipped DBoW2 file; SURVEY.md §2a)
+        self.loop_closer = None
+        self._loop_key = None
 
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
@@ -60,7 +70,8 @@ class System:
 
     def _track(self, frame: FrameData) -> np.ndarray:
         self.tracker.map = self.map
-        res = self.tracker.process(frame)
+        reloc_db = self.loop_closer.db if self.loop_closer is not None else None
+        res = self.tracker.process(frame, reloc_db=reloc_db)
         self.map = self.tracker.map
         if (
             self.tracker.kf_request is not None
@@ -102,8 +113,36 @@ class System:
         )
         kf_id = int(kf_dev)
         state = self.local_mapper.post_keyframe(state, kf_id, new_pids)
+        if self.enable_loop_closing:
+            state = self._run_loop_closing(state, kf_id)
         self.map = state
         return kf_id
+
+    def _run_loop_closing(self, state, kf_id: int):
+        """Lazy-init the vocabulary from the map's own descriptors, then run
+        detection/correction for this keyframe."""
+        import jax
+
+        from orbslam2_tpu.pipeline.loop_closing import LoopCloser
+        from orbslam2_tpu.vocab import bow
+
+        if self.loop_closer is None:
+            descs = state.kf_desc[kf_id]
+            valid = state.kf_feat_valid[kf_id]
+            codebook = bow.train_codebook(
+                descs, valid, jax.random.PRNGKey(self.cfg.vocab.seed),
+                vocab_size=self.cfg.vocab.vocab_size,
+                iters=self.cfg.vocab.train_iters,
+            )
+            self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
+            self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
+        self._loop_key, sub = jax.random.split(self._loop_key)
+        state, result = self.loop_closer.process_keyframe(state, kf_id, sub)
+        if result is not None and result.detected:
+            # poses moved globally: refresh tracker anchors
+            self.tracker.map = state
+            self.tracker.refresh_ref_pose()
+        return state
 
     # -- mode switches (reference src/System.cc:272-284) -------------------
 

@@ -447,10 +447,82 @@ class Tracker:
         self._ref_pose_np = np.asarray(T21)
         return True
 
+    # -- relocalization ----------------------------------------------------
+
+    def relocalize(self, frame: FrameData, db) -> bool:
+        """Recover from LOST using the keyframe database
+        (reference Tracking::Relocalization, src/Tracking.cc:1441-1603).
+
+        The reference seeds EPnP from scratch; here each candidate keyframe
+        seeds a robust pose optimization from ITS OWN pose (the candidate
+        matched visually, so its pose is a good basin), followed by the
+        reference's escalating projection search until >= 50 inliers.
+        """
+        from orbslam2_tpu.vocab import bow as bow_mod
+
+        if db is None:
+            return False
+        st = self.map
+        vec = bow_mod.bow_vector(frame.desc, frame.valid, db.codebook)
+        cand, mask, _ = db.query(
+            vec, jnp.zeros(st.capacity_kf, bool), 0.0, jnp.zeros(st.capacity_kf, jnp.int32)
+        )
+        cands = [int(c) for c, m in zip(np.asarray(cand), np.asarray(mask)) if m][:5]
+        for c in cands:
+            bind = reference_kf_match(
+                st.kf_desc[c], st.kf_point_idx[c], st.kf_angle[c],
+                st.kf_feat_valid[c], st.mp_valid, frame,
+            )
+            if int(jnp.sum(bind >= 0)) < self.cfg.tracking.min_matches_ref:
+                continue
+            obs = build_pose_observations(bind, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+            res = pose_opt.pose_optimize(st.kf_Tcw[c], obs, self.K)
+            if int(res.num_inliers) < self.cfg.tracking.min_inliers_track:
+                continue
+            Tcw = res.Tcw
+            bind = jnp.where(res.inliers, bind, -1)
+            # escalating projection search (reference :1554-1588)
+            lkf, lkfm, lpts, lptsm, _ = gather_local_map(
+                st, st.kf_point_idx[c],
+                max_local_kfs=self.cfg.map.max_local_keyframes,
+                max_local_points=self.cfg.map.max_local_points,
+            )
+            for radius_mult in (2.5, 1.0):
+                bind, _ = search_local_points(
+                    st, lpts, lptsm, Tcw, bind, frame, self.K,
+                    self.scale_factors, self.bounds, jnp.float32(radius_mult),
+                    num_levels=self.cfg.orb.num_levels,
+                )
+                obs = build_pose_observations(bind, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
+                res = pose_opt.pose_optimize(Tcw, obs, self.K)
+                Tcw = res.Tcw
+                bind = jnp.where(res.inliers, bind, -1)
+            if int(res.num_inliers) >= self.cfg.tracking.min_inliers_local_after_reloc:
+                self.state = TrackState.OK
+                self.last_Tcw = Tcw
+                self.last_frame = frame
+                self.last_point_idx = bind
+                self.velocity = None
+                self.ref_kf = c
+                self.refresh_ref_pose()
+                return True
+        return False
+
     # -- main entry --------------------------------------------------------
 
-    def process(self, frame: FrameData) -> TrackResult:
+    def process(self, frame: FrameData, reloc_db=None) -> TrackResult:
         is_kf = False
+        if self.state == TrackState.LOST:
+            if self.relocalize(frame, reloc_db):
+                self._log_pose(frame, True, self.last_Tcw)
+                return TrackResult(
+                    np.asarray(self.last_Tcw), self.state, self.last_inliers, False
+                )
+            self._log_pose(frame, False)
+            return TrackResult(
+                np.asarray(self.last_Tcw if self.last_Tcw is not None else jnp.eye(4)),
+                self.state, 0, False,
+            )
         if self.state == TrackState.NOT_INITIALIZED:
             if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
                 if self._stereo_initialize(frame):

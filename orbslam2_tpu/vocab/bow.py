@@ -1,0 +1,109 @@
+"""Bag-of-binary-words vocabulary as a flat codebook + dense scoring.
+
+Replaces DBoW2 (reference include/ORBVocabulary.h, the ~1M-leaf
+branching-10 depth-6 tree loaded from a 100 MB text file at startup,
+src/System.cc:65-72). TPU-first redesign:
+
+* the hierarchical tree exists to make CPU lookups O(B*L); on TPU a FLAT
+  codebook of V binary centers is both simpler and exact — assignment is
+  one [N, V] Hamming matrix (XOR+popcount, or the +-1 matmul variant on the
+  MXU), which at N=1024, V=4096 is microseconds;
+* the vocabulary is trained by binary k-medians (bitwise-majority centers)
+  on descriptors sampled from the running session or a dataset — no
+  shipped vocabulary file needed (and none is available offline);
+* BoW vectors are L1-normalized term-frequency histograms [V]; similarity
+  is the DBoW2 L1 score s = 1 - 0.5 * |v1 - v2|_1 (reference
+  DBoW2::L1Scoring), computed for a query against every keyframe row in
+  one broadcast.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_tpu.ops import hamming
+
+
+def _unpack_bits_i32(desc: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] uint32 -> [N, 256] int32 in {0, 1}."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], 256).astype(jnp.int32)
+
+
+def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
+    """[V, 256] {0,1} -> [V, 8] uint32."""
+    b = bits.astype(jnp.uint32).reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("vocab_size", "iters"))
+def train_codebook(
+    descs: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    vocab_size: int = 1024,
+    iters: int = 8,
+) -> jnp.ndarray:
+    """Binary k-medians: returns codebook [V, 8] uint32.
+
+    Centers update by bitwise majority of assigned descriptors; empty
+    clusters are re-seeded from random descriptors.
+    """
+    N = descs.shape[0]
+    prob = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
+    init_idx = jax.random.choice(key, N, shape=(vocab_size,), replace=True, p=prob)
+    centers = descs[init_idx]
+    bits = _unpack_bits_i32(descs)  # [N, 256]
+
+    def step(carry, k):
+        centers, = carry
+        d = hamming.distance_matrix(descs, centers)            # [N, V]
+        d = jnp.where(valid[:, None], d, 1 << 20)
+        assign = jnp.argmin(d, axis=1)                          # [N]
+        # majority vote per cluster per bit
+        onehot_counts = jnp.zeros((vocab_size,), jnp.int32).at[assign].add(
+            valid.astype(jnp.int32)
+        )
+        bit_sums = jnp.zeros((vocab_size, 256), jnp.int32).at[assign].add(
+            jnp.where(valid[:, None], bits, 0)
+        )
+        maj = (2 * bit_sums >= onehot_counts[:, None]).astype(jnp.int32)
+        new_centers = _pack_bits_u32(maj)
+        # reseed empties
+        reseed = jax.random.choice(
+            jax.random.fold_in(key, k), N, shape=(vocab_size,), replace=True, p=prob
+        )
+        empty = onehot_counts == 0
+        new_centers = jnp.where(empty[:, None], descs[reseed], new_centers)
+        return (new_centers,), None
+
+    (centers,), _ = jax.lax.scan(step, (centers,), jnp.arange(iters))
+    return centers
+
+
+@jax.jit
+def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """L1-normalized word histogram [V] (the reference's BowVector via
+    vocabulary transform, src/Frame.cc:425-433)."""
+    V = codebook.shape[0]
+    d = hamming.distance_matrix(descs, codebook)
+    assign = jnp.argmin(d, axis=1)
+    hist = jnp.zeros((V,), jnp.float32).at[assign].add(valid.astype(jnp.float32))
+    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+
+
+@jax.jit
+def word_ids(descs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Per-feature word assignment [N] (the FeatureVector analogue used to
+    bucket brute-force matching, reference src/ORBmatcher.cc:552)."""
+    return jnp.argmin(hamming.distance_matrix(descs, codebook), axis=1).astype(jnp.int32)
+
+
+def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity in [0, 1]; broadcasts over leading dims of v2."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)

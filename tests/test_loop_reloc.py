@@ -1,0 +1,67 @@
+"""End-to-end loop closing (orbit sequence) and relocalization (blackout)."""
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.io import synthetic
+from orbslam2_tpu.pipeline.system import System
+from orbslam2_tpu.pipeline.tracking import TrackState
+from orbslam2_tpu.utils.evaluation import ate_rmse
+
+from tests.test_e2e_rgbd import small_cfg
+
+
+@pytest.mark.slow
+def test_outback_loop_closure():
+    cfg = small_cfg()
+    seq = synthetic.default_sequence(
+        n_frames=44, kind="outback", n_points=3500, cam=cfg.camera
+    )
+    slam = System(cfg)
+    for i in range(len(seq)):
+        img, depth = seq.frame(i)
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    assert slam.get_tracking_state() == TrackState.OK
+    ts, poses, tracked = slam.frame_poses()
+    assert tracked.sum() >= len(seq) - 2
+    rmse = ate_rmse(poses[tracked], seq.poses[tracked], align=True)
+    assert rmse < 0.12, rmse
+    # the orbit revisits its start: the loop closer should have fired at
+    # least its detection machinery without corrupting the map; if a loop
+    # closed, the pose graph must not have blown up the trajectory
+    if slam.loop_closer is not None and slam.loop_closer.loops_closed:
+        assert rmse < 0.12
+
+
+@pytest.mark.slow
+def test_relocalization_after_blackout():
+    cfg = small_cfg()
+    seq = synthetic.default_sequence(
+        n_frames=20, kind="forward", n_points=3000, cam=cfg.camera
+    )
+    slam = System(cfg)
+    for i in range(14):
+        img, depth = seq.frame(i)
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    assert slam.get_tracking_state() == TrackState.OK
+
+    # blackout: three empty frames -> tracking must report LOST
+    black = np.zeros((cfg.camera.height, cfg.camera.width), np.float32)
+    nodepth = np.zeros_like(black)
+    for j in range(3):
+        slam.track_rgbd(black, nodepth, timestamp=(14 + j) / 30.0)
+    assert slam.get_tracking_state() == TrackState.LOST
+
+    # revisit a mapped view -> relocalize
+    img, depth = seq.frame(10)
+    recovered = False
+    for j in range(3):
+        slam.track_rgbd(img, depth, timestamp=(17 + j) / 30.0)
+        if slam.get_tracking_state() == TrackState.OK:
+            recovered = True
+            break
+    assert recovered, "did not relocalize after blackout"
+    # pose must be close to the frame-10 ground truth
+    T = slam.results[-1].Tcw
+    e = T @ np.linalg.inv(seq.poses[10])
+    assert np.linalg.norm(e[:3, 3]) < 0.1

@@ -1,0 +1,192 @@
+"""Unit tests for the loop-closing solver stack: Horn Sim3 RANSAC, BoW
+vocabulary/database, Sim3 pose-graph optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import CameraConfig
+from orbslam2_tpu.geometry import camera, se3, sim3
+from orbslam2_tpu.solvers import horn, pose_graph
+from orbslam2_tpu.vocab import bow
+from orbslam2_tpu.vocab.database import KeyFrameDatabase
+
+CAM = CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5)
+K = camera.Intrinsics.from_config(CAM)
+
+
+def random_sim3(rng, scale_spread=0.3):
+    q = rng.normal(size=4)
+    R = np.asarray(se3.quat_to_rot(jnp.asarray(q.astype(np.float32))))
+    s = float(np.exp(rng.normal() * scale_spread))
+    t = rng.normal(size=3).astype(np.float32)
+    return s, R, t
+
+
+class TestHorn:
+    def test_exact_recovery(self, rng):
+        s, R, t = random_sim3(rng)
+        p2 = rng.uniform(-2, 2, (50, 3)).astype(np.float32)
+        p1 = (s * (p2 @ R.T) + t).astype(np.float32)
+        se, Re, te = horn.horn_sim3(jnp.asarray(p1), jnp.asarray(p2), jnp.ones(50))
+        assert float(se) == pytest.approx(s, rel=1e-4)
+        np.testing.assert_allclose(np.asarray(Re), R, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(te), t, atol=1e-3)
+
+    def test_fix_scale(self, rng):
+        R = np.asarray(se3.quat_to_rot(jnp.asarray(rng.normal(size=4).astype(np.float32))))
+        p2 = rng.uniform(-2, 2, (50, 3)).astype(np.float32)
+        p1 = (p2 @ R.T + np.asarray([1.0, 0, 0])).astype(np.float32)
+        se, Re, te = horn.horn_sim3(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.ones(50), fix_scale=True
+        )
+        assert float(se) == 1.0
+        np.testing.assert_allclose(np.asarray(Re), R, atol=1e-4)
+
+    def test_ransac_with_outliers(self, rng):
+        # two keyframes looking at a common cloud, cloud duplicated with a
+        # sim3 offset between the "maps"
+        N = 120
+        pw = np.c_[rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N), rng.uniform(4, 8, N)].astype(np.float32)
+        T1 = np.asarray(se3.identity())
+        T2 = np.asarray(se3.exp_se3(jnp.asarray([0.4, 0, 0, 0, 0.05, 0], jnp.float32)))
+        # "map 2" world points are a similarity-warp of map 1's
+        s_gt, R_gt, t_gt = 1.15, np.asarray(se3.exp_so3(jnp.asarray([0.02, 0.3, -0.01]))), np.asarray([0.5, -0.2, 0.8])
+        pw2 = ((pw - t_gt) @ R_gt) / s_gt  # inverse warp: pw = s R pw2 + t
+        uv1 = np.array(camera.project(se3.apply(jnp.asarray(T1), jnp.asarray(pw)), K))
+        uv2 = np.array(camera.project(se3.apply(jnp.asarray(T2), jnp.asarray(pw2.astype(np.float32))), K))
+        # corrupt 25% of the pairs
+        n_out = 30
+        pw2c = pw2.copy()
+        pw2c[:n_out] += rng.uniform(0.5, 2.0, (n_out, 3))
+        res = horn.ransac_sim3(
+            jnp.asarray(pw), jnp.asarray(pw2c.astype(np.float32)), jnp.ones(N, bool),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(N), jnp.ones(N),
+            jnp.asarray(T1), jnp.asarray(T2), K, jax.random.PRNGKey(0),
+        )
+        assert bool(res.success)
+        inl = np.asarray(res.inliers)
+        assert inl[n_out:].mean() > 0.9
+        assert not inl[:n_out].any()
+        # NOTE: recovered sim3 maps cam2 coords to cam1 coords; verify via
+        # inlier reprojection consistency instead of raw parameters
+        assert int(res.num_inliers) > 80
+
+
+class TestBow:
+    def test_codebook_and_vectors(self, rng):
+        descs = jnp.asarray(rng.integers(0, 2**32, (512, 8), dtype=np.uint32))
+        cb = bow.train_codebook(descs, jnp.ones(512, bool), jax.random.PRNGKey(0), vocab_size=64, iters=4)
+        assert cb.shape == (64, 8)
+        v = bow.bow_vector(descs[:100], jnp.ones(100, bool), cb)
+        assert v.shape == (64,)
+        assert float(jnp.sum(v)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_same_image_scores_high(self, rng):
+        base = rng.integers(0, 2**32, (2048, 8), dtype=np.uint32)
+        cb = bow.train_codebook(
+            jnp.asarray(base), jnp.ones(2048, bool), jax.random.PRNGKey(1), vocab_size=128, iters=4
+        )
+        a = jnp.asarray(base[:300])
+        # "same place": a subset of the same descriptors (plus a few bit flips)
+        b = jnp.asarray(base[:300] ^ rng.integers(0, 2, (300, 8)).astype(np.uint32))
+        c = jnp.asarray(base[1000:1300])  # different place
+        va = bow.bow_vector(a, jnp.ones(300, bool), cb)
+        vb = bow.bow_vector(b, jnp.ones(300, bool), cb)
+        vc = bow.bow_vector(c, jnp.ones(300, bool), cb)
+        s_same = float(bow.l1_score(va, vb))
+        s_diff = float(bow.l1_score(va, vc))
+        assert s_same > s_diff + 0.2, (s_same, s_diff)
+
+    def test_database_query_excludes_covisibles(self, rng):
+        base = rng.integers(0, 2**32, (4096, 8), dtype=np.uint32)
+        cb = bow.train_codebook(
+            jnp.asarray(base), jnp.ones(4096, bool), jax.random.PRNGKey(2), vocab_size=128, iters=4
+        )
+        db = KeyFrameDatabase(cb, max_keyframes=8)
+        # kf0 and kf5 see the same place; others random
+        for k in range(6):
+            lo = 0 if k in (0, 5) else 400 * k
+            descs = jnp.asarray(base[lo : lo + 300])
+            db.add(k, descs, jnp.ones(300, bool))
+        q = db.vectors[5]
+        covis = jnp.zeros((8, 8), jnp.int32)
+        exclude = jnp.zeros(8, bool).at[5].set(True)
+        cand, mask, scores = db.query(q, exclude, 0.05, covis[5] * 0)
+        got = set(np.asarray(cand)[np.asarray(mask)].tolist())
+        assert 0 in got
+        # excluding kf0 as covisible must remove it
+        exclude2 = exclude.at[0].set(True)
+        cand2, mask2, _ = db.query(q, exclude2, 0.05, covis[5] * 0)
+        assert 0 not in set(np.asarray(cand2)[np.asarray(mask2)].tolist())
+
+
+class TestPoseGraph:
+    def test_loop_correction_distributes_drift(self, rng):
+        """A chain of keyframes with accumulated drift + one loop edge to
+        the start: optimization should spread the error along the chain."""
+        Kn = 12
+        # ground truth: cameras on a circle
+        gt = []
+        for i in range(Kn):
+            a = 2 * np.pi * i / Kn
+            xi = jnp.asarray([np.cos(a), np.sin(a), 0, 0, 0, a], jnp.float32)
+            gt.append(np.asarray(se3.exp_se3(xi)))
+        gt = np.stack(gt)
+        # drifted estimates: growing error
+        est = gt.copy()
+        for i in range(1, Kn):
+            xi = jnp.asarray(rng.normal(0, 0.01, 6).astype(np.float32) * i)
+            est[i] = np.asarray(se3.exp_se3(xi)) @ gt[i]
+        verts = jax.vmap(pose_graph.se3_to_pack)(jnp.asarray(est.astype(np.float32)))
+
+        # edges: consecutive (measurements from GT relative poses) + loop
+        ei, ej, meas, w = [], [], [], []
+        for i in range(Kn - 1):
+            ei.append(i); ej.append(i + 1)
+            rel = gt[i + 1] @ np.linalg.inv(gt[i])
+            meas.append(np.asarray(pose_graph.se3_to_pack(jnp.asarray(rel.astype(np.float32)))))
+            w.append(1.0)
+        # loop edge last -> first
+        ei.append(Kn - 1); ej.append(0)
+        rel = gt[0] @ np.linalg.inv(gt[Kn - 1])
+        meas.append(np.asarray(pose_graph.se3_to_pack(jnp.asarray(rel.astype(np.float32)))))
+        w.append(5.0)
+
+        prob = pose_graph.PoseGraphProblem(
+            vertices=verts,
+            vertex_valid=jnp.ones(Kn, bool),
+            vertex_fixed=jnp.zeros(Kn, bool).at[0].set(True),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+            edge_valid=jnp.ones(len(ei), bool),
+            edge_weight=jnp.asarray(w, jnp.float32),
+        )
+        out = pose_graph.optimize_pose_graph(prob, iters=25)
+        poses = np.asarray(jax.vmap(pose_graph.pack_to_se3)(out))
+        errs = []
+        for i in range(Kn):
+            e = poses[i] @ np.linalg.inv(gt[i])
+            errs.append(np.linalg.norm(np.asarray(se3.log_se3(jnp.asarray(e.astype(np.float32))))))
+        errs = np.asarray(errs)
+        pre_errs = []
+        for i in range(Kn):
+            e = est[i] @ np.linalg.inv(gt[i])
+            pre_errs.append(np.linalg.norm(np.asarray(se3.log_se3(jnp.asarray(e.astype(np.float32))))))
+        assert errs.max() < 0.25 * np.asarray(pre_errs).max(), (errs.max(), np.asarray(pre_errs).max())
+
+    def test_remap_points(self, rng):
+        Kn = 4
+        old = jnp.asarray(np.stack([np.asarray(pose_graph.se3_to_pack(se3.identity())) for _ in range(Kn)]))
+        # new: uniform shift of KF 2
+        T = se3.exp_se3(jnp.asarray([0.5, 0, 0, 0, 0, 0], jnp.float32))
+        new = old.at[2].set(pose_graph.se3_to_pack(T))
+        pts = jnp.asarray(rng.uniform(-1, 1, (10, 3)).astype(np.float32))
+        ref = jnp.full(10, 2, jnp.int32)
+        out = pose_graph.remap_points(pts, ref, old, new)
+        # p' = T^-1 p (S_old = I)
+        expect = np.asarray(se3.apply(se3.inverse(T), pts))
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
