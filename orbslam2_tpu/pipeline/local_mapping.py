@@ -487,6 +487,55 @@ def writeback_local_ba(
     return st
 
 
+# ---------------------------------------------------------------------------
+# keyframe culling (reference src/LocalMapping.cc:684-752)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def keyframe_redundancy(state: ms.MapState, kf_id) -> jnp.ndarray:
+    """Fraction of kf_id's bound points that >= 3 OTHER keyframes observe at
+    the same or finer scale (+1 octave tolerance, reference :718-724)."""
+    S = state.kf_point_idx.shape[1]
+    pid = state.kf_point_idx[kf_id]
+    pidc = jnp.clip(pid, 0, state.capacity_mp - 1)
+    bound = (pid >= 0) & state.mp_valid[pidc] & state.kf_feat_valid[kf_id]
+    my_oct = state.kf_octave[kf_id]
+    obs_kf = state.mp_obs_kf[pidc]     # [S, O]
+    obs_ft = state.mp_obs_feat[pidc]
+    live = (obs_kf >= 0) & (obs_kf != kf_id) & bound[:, None]
+    okf = jnp.clip(obs_kf, 0, state.capacity_kf - 1)
+    oft = jnp.clip(obs_ft, 0, S - 1)
+    o_oct = state.kf_octave[okf, oft]
+    fine = live & (o_oct <= my_oct[:, None] + 1) & state.kf_valid[okf]
+    n_observers = jnp.sum(fine, axis=1)
+    redundant = bound & (n_observers >= 3)
+    return jnp.sum(redundant) / jnp.maximum(jnp.sum(bound), 1)
+
+
+@jax.jit
+def remove_keyframe(state: ms.MapState, kf_id) -> ms.MapState:
+    """SetBadFlag for a keyframe (reference KeyFrame::SetBadFlag,
+    src/KeyFrame.cc:507-610): erase its observations, detach it from the
+    covisibility graph, reparent its spanning-tree children to its parent."""
+    S = state.kf_point_idx.shape[1]
+    pid = state.kf_point_idx[kf_id]
+    st = erase_observations(
+        state, jnp.clip(pid, 0, state.capacity_mp - 1),
+        jnp.full((S,), kf_id, jnp.int32), pid >= 0,
+    )
+    parent = st.kf_parent[kf_id]
+    children = st.kf_parent == kf_id
+    new_parent = jnp.where(children, parent, st.kf_parent)
+    covis = st.covis.at[kf_id, :].set(0).at[:, kf_id].set(0)
+    return st._replace(
+        kf_valid=st.kf_valid.at[kf_id].set(False),
+        kf_parent=new_parent,
+        covis=covis,
+        kf_point_idx=st.kf_point_idx.at[kf_id].set(-1),
+    )
+
+
 @partial(jax.jit, static_argnames=("max_points", "obs_slots"))
 def build_global_ba_problem(
     state: ms.MapState,
@@ -583,6 +632,18 @@ class LocalMapper:
                 max_points=sc.ba_max_points, obs_slots=int(state.obs_slots),
                 iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             )
+            # keyframe culling: drop one redundant covisible neighbor per
+            # step (reference KeyFrameCulling, src/LocalMapping.cc:684-752)
+            covis = np.asarray(state.covis[kf_id])
+            cands = np.argsort(-covis)[:3]
+            for c in cands:
+                c = int(c)
+                if c == 0 or c == kf_id or covis[c] < self.cfg.map.covis_threshold:
+                    continue
+                frac = float(keyframe_redundancy(state, jnp.int32(c)))
+                if frac > 0.9:
+                    state = remove_keyframe(state, jnp.int32(c))
+                    break
         return state
 
     def process_keyframe(self, state: ms.MapState, kf_id: int, run_ba: bool = True) -> ms.MapState:

@@ -194,5 +194,37 @@ class System:
         fids = np.asarray(self.map.kf_frame_id)[valid]
         traj_io.save_tum(path, fids.astype(np.float64), poses)
 
+    # -- map persistence (the reference declares SaveMap/LoadMap as TODO,
+    #    include/System.h:127-129 — implemented here as parity-plus) -------
+
+    def save_map(self, path: str):
+        """Serialize the full map pytree (+ BoW database if present)."""
+        payload = {f"map_{k}": np.asarray(v) for k, v in self.map._asdict().items()}
+        if self.loop_closer is not None:
+            payload["db_vectors"] = np.asarray(self.loop_closer.db.vectors)
+            payload["db_present"] = np.asarray(self.loop_closer.db.present)
+            payload["codebook"] = np.asarray(self.loop_closer.codebook)
+        np.savez_compressed(path, **payload)
+
+    def load_map(self, path: str):
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.pipeline.loop_closing import LoopCloser
+
+        z = np.load(path)
+        fields = {k[4:]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")}
+        self.map = ms.MapState(**fields)
+        self.tracker.map = self.map
+        self.tracker.n_keyframes = int(jnp.sum(self.map.kf_valid))
+        if "codebook" in z.files:
+            self.loop_closer = LoopCloser(
+                self.cfg, self.builder.K, jnp.asarray(z["codebook"])
+            )
+            self.loop_closer.db.vectors = jnp.asarray(z["db_vectors"])
+            self.loop_closer.db.present = jnp.asarray(z["db_present"])
+            import jax
+
+            self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
+
     def shutdown(self):
         pass
