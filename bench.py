@@ -82,29 +82,23 @@ def main():
 
             return inner
 
-        _fused.track_step = _wrap("track", _fused.track_step)
-        _fused.keyframe_step = _wrap("keyframe", _fused.keyframe_step)
-        _fused.local_ba_step = _wrap("local_ba", _fused.local_ba_step)
+        _fused.track_frame_rgbd = _wrap("frame+track", _fused.track_frame_rgbd)
+        _fused.keyframe_full_step = _wrap("keyframe+ba", _fused.keyframe_full_step)
 
-        from orbslam2_tpu.ops import orb as _orb
-        from orbslam2_tpu.ops import stereo as _stereo
-
-        _orb.extract = _wrap("orb_extract", _orb.extract)
-        _stereo.compute_stereo_from_rgbd = _wrap(
-            "rgbd_depth", _stereo.compute_stereo_from_rgbd
-        )
-        _t = _time
-
-        _orig_rgbd = type(slam.builder).rgbd
-
-        def _timed_rgbd(self_b, image, depth, timestamp=0.0):
-            t0 = _t.perf_counter()
-            out = _orig_rgbd(self_b, image, depth, timestamp)
-            jax.block_until_ready(out.desc)
-            stage_times.setdefault("frame_total", []).append(_t.perf_counter() - t0)
+        _orig_fast = type(slam.tracker).process_rgbd_fast
+        def _timed_fast(self_t, *a, **k):
+            t0 = _time.perf_counter()
+            out = _orig_fast(self_t, *a, **k)
+            stage_times.setdefault("host:process_fast", []).append(_time.perf_counter() - t0)
             return out
-
-        type(slam.builder).rgbd = _timed_rgbd
+        type(slam.tracker).process_rgbd_fast = _timed_fast
+        _orig_hkf = type(slam)._handle_kf_request
+        def _timed_hkf(self_s, *a, **k):
+            t0 = _time.perf_counter()
+            out = _orig_hkf(self_s, *a, **k)
+            stage_times.setdefault("host:kf_request", []).append(_time.perf_counter() - t0)
+            return out
+        type(slam)._handle_kf_request = _timed_hkf
     # warmup: triggers all compilations (extract, match, pose opt, BA)
     for i in range(warmup):
         img, depth = frames[i]

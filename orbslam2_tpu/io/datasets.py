@@ -18,21 +18,30 @@ import numpy as np
 
 
 def _load_gray(path: str) -> np.ndarray:
+    # native C++ decoder (orbslam2_tpu/native/image_io.cc) with PIL fallback
+    from orbslam2_tpu.native import decode_image
+
+    arr = decode_image(path)
+    if arr is not None:
+        return arr.astype(np.float32)
     from PIL import Image
 
     img = Image.open(path)
     if img.mode not in ("L", "I", "I;16", "F"):
         img = img.convert("L")
-    arr = np.asarray(img)
-    return arr.astype(np.float32)
+    return np.asarray(img).astype(np.float32)
 
 
 def _load_depth_png(path: str, factor: float) -> np.ndarray:
+    from orbslam2_tpu.native import decode_image
+
+    arr = decode_image(path)
+    if arr is not None:
+        return arr / factor
     from PIL import Image
 
     img = Image.open(path)
-    arr = np.asarray(img).astype(np.float32)
-    return arr / factor
+    return np.asarray(img).astype(np.float32) / factor
 
 
 @dataclass

@@ -30,30 +30,35 @@ class StereoMatches(NamedTuple):
     depth: jnp.ndarray    # [N] float32; <=0 if unmatched
 
 
-def _gather_level_patch(levels: Sequence[jnp.ndarray], level_idx, cy, cx, half_h: int, half_w: int):
-    """Gather a (2hh+1, 2hw+1) patch CENTERED at (cy, cx) from
-    levels[level_idx].
+def _stack_levels(levels: Sequence[jnp.ndarray], half_h: int, half_w: int) -> jnp.ndarray:
+    """Stack a pyramid into one [L, H0+2hh, W0+2hw] array (edge-padded,
+    top-left aligned). Indexing stacked[level] replaces a lax.switch over
+    per-level shapes — vmap-of-switch made XLA compile times explode."""
+    H0, W0 = levels[0].shape
+    out = []
+    for img in levels:
+        p = jnp.pad(img, ((half_h, half_h), (half_w, half_w)), mode="edge")
+        p = jnp.pad(
+            p,
+            ((0, H0 - img.shape[0]), (0, W0 - img.shape[1])),
+            mode="edge",
+        )
+        out.append(p)
+    return jnp.stack(out)
 
-    level_idx/cy/cx are traced scalars; the level dispatch is a lax.switch
-    over statically-shaped branches. With edge padding of (hh, hw), the
-    patch's top-left corner in padded coords equals the center in unpadded
-    coords.
-    """
-    hh, hw = half_h, half_w
 
-    def make_branch(img):
-        padded = jnp.pad(img, ((hh, hh), (hw, hw)), mode="edge")
-
-        def branch(args):
-            y, x = args
-            y = jnp.clip(y, 0, img.shape[0] - 1)
-            x = jnp.clip(x, 0, img.shape[1] - 1)
-            return jax.lax.dynamic_slice(padded, (y, x), (2 * hh + 1, 2 * hw + 1))
-
-        return branch
-
-    branches = [make_branch(img) for img in levels]
-    return jax.lax.switch(level_idx, branches, (cy, cx))
+def _gather_level_patch(stacked: jnp.ndarray, level_idx, cy, cx, half_h: int, half_w: int,
+                        level_shapes: Sequence[tuple[int, int]]):
+    """Gather a (2hh+1, 2hw+1) patch CENTERED at (cy, cx) from the stacked
+    pyramid. With edge padding of (hh, hw), the patch's top-left corner in
+    padded coords equals the center in unpadded coords."""
+    hs = jnp.asarray([s[0] for s in level_shapes], jnp.int32)
+    ws = jnp.asarray([s[1] for s in level_shapes], jnp.int32)
+    y = jnp.clip(cy, 0, hs[level_idx] - 1)
+    x = jnp.clip(cx, 0, ws[level_idx] - 1)
+    return jax.lax.dynamic_slice(
+        stacked, (level_idx, y, x), (1, 2 * half_h + 1, 2 * half_w + 1)
+    )[0]
 
 
 def compute_stereo_matches(
@@ -100,14 +105,18 @@ def compute_stereo_matches(
     vL = left_xy[:, 1] * inv_sf
     uR0 = right_xy[jnp.clip(best_idx, 0, N - 1), 0] * inv_sf
 
+    lshapes = [img.shape for img in left_levels]
+    left_stack = _stack_levels(left_levels, _SAD_HALF, _SAD_HALF)
+    right_stack = _stack_levels(right_levels, _SAD_HALF, _SAD_HALF + _SLIDE)
+
     def refine_one(level, u_l, v_l, u_r0):
         iy = jnp.round(v_l).astype(jnp.int32)
         ixl = jnp.round(u_l).astype(jnp.int32)
         ixr = jnp.round(u_r0).astype(jnp.int32)
-        pl = _gather_level_patch(left_levels, level, iy, ixl, _SAD_HALF, _SAD_HALF)
+        pl = _gather_level_patch(left_stack, level, iy, ixl, _SAD_HALF, _SAD_HALF, lshapes)
         pl = pl - pl[_SAD_HALF, _SAD_HALF]
         strip = _gather_level_patch(
-            right_levels, level, iy, ixr, _SAD_HALF, _SAD_HALF + _SLIDE
+            right_stack, level, iy, ixr, _SAD_HALF, _SAD_HALF + _SLIDE, lshapes
         )
         W = 2 * _SAD_HALF + 1
 

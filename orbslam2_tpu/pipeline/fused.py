@@ -184,6 +184,69 @@ def track_step(
 
 @partial(
     jax.jit,
+    static_argnames=("orb_cfg", "max_local_kfs", "max_local_points", "num_levels",
+                     "has_distortion"),
+    donate_argnums=(0,),
+)
+def track_frame_rgbd(
+    state: ms.MapState,
+    image,
+    depth_map,
+    frame_id,
+    last_xy,
+    last_point_idx,
+    last_octave,
+    last_angle,
+    last_desc,
+    last_Tcw,
+    velocity,
+    has_velocity,
+    ref_kf,
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    inv_depth_factor,
+    orb_cfg,
+    max_local_kfs: int = 80,
+    max_local_points: int = 4096,
+    num_levels: int = 8,
+    has_distortion: bool = False,
+):
+    """Frame construction (ORB extraction + RGB-D depth seeding +
+    undistortion) AND the tracking step in ONE program — on a remote-
+    dispatch TPU the per-call latency floor (~40 ms) would otherwise
+    dominate a 30 Hz budget. Returns (state, FrameData, TrackOut)."""
+    from orbslam2_tpu.ops import orb as orb_mod
+    from orbslam2_tpu.ops import stereo as stereo_mod
+    from orbslam2_tpu.pipeline.frame import FrameData
+
+    feats = orb_mod.extract.__wrapped__(image, orb_cfg)
+    sm = stereo_mod.compute_stereo_from_rgbd(
+        feats.xy, feats.valid, depth_map, inv_depth_factor, K.bf
+    )
+    und = cam_geo.undistort_pixels(feats.xy, K) if has_distortion else feats.xy
+    frame = FrameData(
+        frame_id=frame_id,
+        timestamp=0.0,
+        xy=und,
+        xy_raw=feats.xy,
+        ur=sm.u_right,
+        depth=sm.depth,
+        octave=feats.octave,
+        angle=feats.angle,
+        desc=feats.desc,
+        valid=feats.valid,
+    )
+    state, out = track_step.__wrapped__(
+        state, frame, last_xy, last_point_idx, last_octave, last_angle,
+        last_desc, last_Tcw, velocity, has_velocity, ref_kf, K, p,
+        max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+        num_levels=num_levels,
+    )
+    return state, frame, out
+
+
+@partial(
+    jax.jit,
     static_argnames=("n_neighbors", "num_levels", "create_close_points", "all_depths"),
     donate_argnums=(0,),
 )
@@ -294,6 +357,60 @@ def keyframe_step(
     state = ms.recompute_point_stats.__wrapped__(state, state.kf_point_idx[kf_id])
     state = ms.recompute_point_stats.__wrapped__(state, new_pids[: 2 * S])
     return state, kf_id, new_pids
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_neighbors", "num_levels", "create_close_points", "all_depths",
+                     "max_local", "max_fixed", "max_points", "obs_slots",
+                     "iters1", "iters2", "run_ba"),
+    donate_argnums=(0,),
+)
+def keyframe_full_step(
+    state: ms.MapState,
+    frame,
+    Tcw,
+    point_idx,
+    probation_window,        # [W] int32 point ids (-1 pad) for culling
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    level_sigma2,
+    inv_sigma2,
+    scale_factor_last: float = 1.2**7,
+    baseline: float = 0.1,
+    covis_threshold: int = 15,
+    n_neighbors: int = 5,
+    num_levels: int = 8,
+    create_close_points: bool = True,
+    all_depths: bool = False,
+    max_local: int = 32,
+    max_fixed: int = 64,
+    max_points: int = 8192,
+    obs_slots: int = 16,
+    iters1: int = 5,
+    iters2: int = 10,
+    run_ba: bool = True,
+):
+    """keyframe insertion + mapping + probation culling + local BA as ONE
+    program (one dispatch per keyframe).
+
+    Returns (state, kf_id, new_point_ids, window_keep_mask)."""
+    state, kf_id, new_pids = keyframe_step.__wrapped__(
+        state, frame, Tcw, point_idx, K, p, level_sigma2,
+        scale_factor_last=scale_factor_last, baseline=baseline,
+        covis_threshold=covis_threshold, n_neighbors=n_neighbors,
+        num_levels=num_levels, create_close_points=create_close_points,
+        all_depths=all_depths,
+    )
+    state, keep = lm.cull_points.__wrapped__(state, probation_window, kf_id)
+    if run_ba:
+        state = local_ba_step.__wrapped__(
+            state, kf_id, inv_sigma2, K,
+            max_local=max_local, max_fixed=max_fixed,
+            max_points=max_points, obs_slots=obs_slots,
+            iters1=iters1, iters2=iters2,
+        )
+    return state, kf_id, new_pids, keep
 
 
 @partial(

@@ -604,19 +604,24 @@ class LocalMapper:
         self.recent_points = np.zeros((0,), np.int32)
         self.n_keyframes = 0
 
-    def post_keyframe(self, state: ms.MapState, kf_id: int, new_pids) -> ms.MapState:
-        """Fused-pipeline companion: probation culling + local BA after the
-        fused keyframe step (reference MapPointCulling + LocalBundleAdjustment,
-        src/LocalMapping.cc:68,88)."""
-        from orbslam2_tpu.pipeline import fused
+    def probation_window(self) -> jnp.ndarray:
+        """Fixed-size [W] array of recent point ids for in-program culling."""
+        W = self.RECENT_WINDOW
+        window = np.full(W, -1, np.int32)
+        n = min(len(self.recent_points), W)
+        if n:
+            window[:n] = self.recent_points[-n:]
+        self._window_n = n
+        return jnp.asarray(window)
 
+    def after_keyframe(self, state: ms.MapState, kf_id: int, new_pids, keep) -> ms.MapState:
+        """Host bookkeeping after the fused keyframe program: update the
+        probation window and run keyframe culling (reference
+        KeyFrameCulling, src/LocalMapping.cc:684-752)."""
         self.n_keyframes += 1
         W = self.RECENT_WINDOW
-        if len(self.recent_points):
-            window = np.full(W, -1, np.int32)
-            n = min(len(self.recent_points), W)
-            window[:n] = self.recent_points[-n:]
-            state, keep = cull_points(state, jnp.asarray(window), jnp.int32(kf_id))
+        n = self._window_n
+        if n:
             kept = np.asarray(keep)[:n]
             self.recent_points = self.recent_points[-n:][kept]
         fresh = np.asarray(new_pids)
@@ -624,6 +629,27 @@ class LocalMapper:
         if len(fresh):
             self.recent_points = np.concatenate([self.recent_points, fresh])[-W:]
 
+        # keyframe culling every few keyframes: drop one redundant covisible
+        # neighbor (amortized; each check is two small dispatches)
+        if self.n_keyframes % 4 == 0 and self.n_keyframes >= 12:
+            covis = np.asarray(state.covis[kf_id])
+            cands = np.argsort(-covis)[:3]
+            for c in cands:
+                c = int(c)
+                if c == 0 or c == kf_id or covis[c] < self.cfg.map.covis_threshold:
+                    continue
+                if float(keyframe_redundancy(state, jnp.int32(c))) > 0.9:
+                    state = remove_keyframe(state, jnp.int32(c))
+                    break
+        return state
+
+    def post_keyframe(self, state: ms.MapState, kf_id: int, new_pids) -> ms.MapState:
+        """Unfused companion (kept for the mono/stereo cold paths and tests):
+        probation culling + local BA after a keyframe step."""
+        from orbslam2_tpu.pipeline import fused
+
+        window = self.probation_window()
+        state, keep = cull_points(state, window, jnp.int32(kf_id))
         if int(state.num_kf) >= 3:
             sc = self.cfg.solver
             state = fused.local_ba_step(
@@ -632,19 +658,7 @@ class LocalMapper:
                 max_points=sc.ba_max_points, obs_slots=int(state.obs_slots),
                 iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             )
-            # keyframe culling: drop one redundant covisible neighbor per
-            # step (reference KeyFrameCulling, src/LocalMapping.cc:684-752)
-            covis = np.asarray(state.covis[kf_id])
-            cands = np.argsort(-covis)[:3]
-            for c in cands:
-                c = int(c)
-                if c == 0 or c == kf_id or covis[c] < self.cfg.map.covis_threshold:
-                    continue
-                frac = float(keyframe_redundancy(state, jnp.int32(c)))
-                if frac > 0.9:
-                    state = remove_keyframe(state, jnp.int32(c))
-                    break
-        return state
+        return self.after_keyframe(state, kf_id, new_pids, keep)
 
     def process_keyframe(self, state: ms.MapState, kf_id: int, run_ba: bool = True) -> ms.MapState:
         cfg = self.cfg

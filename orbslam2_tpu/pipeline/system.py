@@ -57,6 +57,20 @@ class System:
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
     def track_rgbd(self, image, depth, timestamp: float = 0.0) -> np.ndarray:
+        from orbslam2_tpu.pipeline.tracking import TrackState
+
+        if self.tracker.state == TrackState.OK:
+            # hot path: one fused device program for the whole frame
+            self.tracker.map = self.map
+            res = self.tracker.process_rgbd_fast(
+                jnp.asarray(image), jnp.asarray(depth), timestamp
+            )
+            self.map = self.tracker.map
+            self._handle_kf_request()
+            self.results.append(res)
+            if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
+                self.reset()
+            return res.Tcw
         frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
         return self._track(frame)
 
@@ -73,6 +87,15 @@ class System:
         reloc_db = self.loop_closer.db if self.loop_closer is not None else None
         res = self.tracker.process(frame, reloc_db=reloc_db)
         self.map = self.tracker.map
+        self._handle_kf_request()
+        self.results.append(res)
+        # auto-reset when lost right after initialization (reference
+        # src/Tracking.cc:502-510: lost with <= 5 keyframes -> full reset)
+        if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
+            self.reset()
+        return res.Tcw
+
+    def _handle_kf_request(self):
         if (
             self.tracker.kf_request is not None
             and self.enable_mapping
@@ -91,28 +114,35 @@ class System:
             self.tracker.velocity = None
         else:
             self.tracker.kf_request = None
-        self.results.append(res)
-        return res.Tcw
 
     def _run_keyframe_pipeline(self, frame, Tcw, point_idx) -> int:
-        """Fused keyframe insertion + mapping + local BA (the synchronous
-        analogue of the reference's LocalMapping thread iteration)."""
+        """Fused keyframe insertion + mapping + probation culling + local BA
+        in one device program (the synchronous analogue of the reference's
+        LocalMapping thread iteration)."""
         from orbslam2_tpu.pipeline import fused
 
         t = self.tracker
         cfg = self.cfg
-        state, kf_dev, new_pids = fused.keyframe_step(
-            self.map, frame, Tcw, point_idx, self.builder.K, t._params,
-            self.local_mapper.level_sigma2,
+        mapper = self.local_mapper
+        sc = cfg.solver
+        window = mapper.probation_window()
+        run_ba = t.n_keyframes >= 2  # this insert makes the third keyframe
+        state, kf_dev, new_pids, keep = fused.keyframe_full_step(
+            self.map, frame, Tcw, point_idx, window, self.builder.K, t._params,
+            mapper.level_sigma2, mapper.inv_sigma2,
             scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
             baseline=float(cfg.camera.baseline),
             covis_threshold=cfg.map.covis_threshold,
             n_neighbors=5,
             num_levels=cfg.orb.num_levels,
             create_close_points=cfg.sensor != Sensor.MONOCULAR,
+            max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
+            max_points=sc.ba_max_points, obs_slots=int(self.map.obs_slots),
+            iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
+            run_ba=run_ba,
         )
         kf_id = int(kf_dev)
-        state = self.local_mapper.post_keyframe(state, kf_id, new_pids)
+        state = mapper.after_keyframe(state, kf_id, new_pids, keep)
         if self.enable_loop_closing:
             state = self._run_loop_closing(state, kf_id)
         self.map = state
@@ -143,6 +173,17 @@ class System:
             self.tracker.map = state
             self.tracker.refresh_ref_pose()
         return state
+
+    # -- reset (reference System::Reset src/System.cc:301-305 +
+    #    Tracking::Reset src/Tracking.cc:1606-1652) -------------------------
+
+    def reset(self):
+        """Clear the map and return to NOT_INITIALIZED."""
+        self.map = ms.allocate(self.cfg.map, self.cfg.orb)
+        self.tracker = Tracker(self.cfg, self.builder, self.map)
+        self.local_mapper = LocalMapper(self.cfg, self.builder.K, self.tracker.bounds)
+        self.loop_closer = None
+        self._loop_key = None
 
     # -- mode switches (reference src/System.cc:272-284) -------------------
 

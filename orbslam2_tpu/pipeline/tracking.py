@@ -312,8 +312,12 @@ class Tracker:
     # -- initialization ----------------------------------------------------
 
     def _stereo_initialize(self, frame: FrameData) -> bool:
+        # reference gates on total feature count (> 500 of 1000,
+        # src/Tracking.cc:545); scale to the configured budget and require a
+        # usable number of depth seeds
+        n_feat = int(jnp.sum(frame.valid))
         n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
-        if n_depth < 300:
+        if n_feat < self.cfg.orb.num_features // 2 or n_depth < 100:
             return False
         Tcw = se3.identity()
         S = frame.xy.shape[0]
@@ -475,8 +479,22 @@ class Tracker:
             )
             if int(jnp.sum(bind >= 0)) < self.cfg.tracking.min_matches_ref:
                 continue
+            # EPnP RANSAC seeds the pose (reference :1486-1551); the matched
+            # candidate keyframe's own pose is the fallback initialization
+            from orbslam2_tpu.solvers import epnp as epnp_mod
+
+            pid = jnp.clip(bind, 0, st.capacity_mp - 1)
+            self._init_key, sub = jax.random.split(self._init_key)
+            pnp = epnp_mod.ransac_pnp(
+                st.mp_pos[pid], frame.xy, (bind >= 0) & st.mp_valid[pid],
+                self.inv_sigma2[jnp.clip(frame.octave, 0, self.inv_sigma2.shape[0] - 1)],
+                self.K, sub,
+                iters=self.cfg.solver.pnp_ransac_iters,
+                min_inliers=self.cfg.solver.pnp_min_inliers,
+            )
+            T_init = pnp.Tcw if bool(pnp.success) else st.kf_Tcw[c]
             obs = build_pose_observations(bind, frame, st.mp_pos, st.mp_valid, self.inv_sigma2)
-            res = pose_opt.pose_optimize(st.kf_Tcw[c], obs, self.K)
+            res = pose_opt.pose_optimize(T_init, obs, self.K)
             if int(res.num_inliers) < self.cfg.tracking.min_inliers_track:
                 continue
             Tcw = res.Tcw
@@ -601,6 +619,69 @@ class Tracker:
         self.last_Tcw = Tcw
         self.last_frame = frame
         self.last_point_idx = cur_point_idx
+        self.last_inliers = n_inliers
+        self._log_pose(frame, True, Tcw_np)
+        return TrackResult(Tcw_np, self.state, n_inliers, is_kf)
+
+    def process_rgbd_fast(self, image, depth_map, timestamp: float) -> TrackResult:
+        """Single-dispatch RGB-D frame: extraction + depth seeding + tracking
+        fused into one device program (state must be OK)."""
+        from orbslam2_tpu.pipeline import fused
+
+        if self._params is None:
+            radius_th = 7.0
+            self._params = fused.TrackParams(
+                scale_factors=self.scale_factors,
+                inv_sigma2=self.inv_sigma2,
+                bounds=jnp.asarray(self.bounds, jnp.float32),
+                radius_th=jnp.float32(radius_th),
+                min_track=jnp.int32(self.cfg.tracking.min_inliers_track),
+                close_depth=jnp.float32(
+                    self.cfg.tracking.th_depth * self.cfg.camera.baseline
+                ),
+            )
+        frame_id = self.builder._fresh_id()
+        velocity = self.velocity if self.velocity is not None else jnp.eye(4)
+        st, frame, out = fused.track_frame_rgbd(
+            self.map, image, depth_map, jnp.int32(frame_id),
+            self.last_frame.xy, self.last_point_idx,
+            self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
+            self.last_Tcw, velocity,
+            jnp.asarray(self.velocity is not None),
+            jnp.int32(self.ref_kf), self.K, self._params,
+            jnp.float32(1.0 / self.cfg.tracking.depth_map_factor),
+            self.cfg.orb,
+            max_local_kfs=self.cfg.map.max_local_keyframes,
+            max_local_points=self.cfg.map.max_local_points,
+            num_levels=self.cfg.orb.num_levels,
+            has_distortion=self.cfg.camera.has_distortion(),
+        )
+        self.map = st
+        frame = frame._replace(frame_id=frame_id, timestamp=timestamp)
+        Tcw_np, ok, n_inliers, ref_tracked, close_t, close_f = jax.device_get(
+            (out.Tcw, out.ok, out.n_inliers, out.ref_tracked,
+             out.close_tracked, out.close_free)
+        )
+        ok = bool(ok)
+        n_inliers = int(n_inliers)
+        if not ok or n_inliers < self.cfg.tracking.min_inliers_local:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self._log_pose(frame, False)
+            return TrackResult(Tcw_np, self.state, n_inliers, False)
+
+        self.state = TrackState.OK
+        self.velocity = out.Tcw @ se3.inverse(self.last_Tcw)
+        is_kf = False
+        if self._need_new_keyframe(n_inliers, int(ref_tracked), int(close_t), int(close_f)):
+            self.kf_request = (frame, out.Tcw, out.point_idx)
+            is_kf = True
+            self.frames_since_kf = 0
+        else:
+            self.frames_since_kf += 1
+        self.last_Tcw = out.Tcw
+        self.last_frame = frame
+        self.last_point_idx = out.point_idx
         self.last_inliers = n_inliers
         self._log_pose(frame, True, Tcw_np)
         return TrackResult(Tcw_np, self.state, n_inliers, is_kf)

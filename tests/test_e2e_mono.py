@@ -27,7 +27,9 @@ def mono_cfg():
         # doubles its ORB budget during initialization, src/Tracking.cc:125)
         orb=OrbConfig(num_features=1200, feature_slots=1280, candidates_per_level=4096),
         map=MapConfig(max_keyframes=32, max_points=8192, max_local_points=4096),
-        tracking=TrackingConfig(th_depth=100.0, mono_init_min_matches=50),
+        # kf_min_gap: mono triangulation needs baseline between keyframes;
+        # back-to-back keyframes starve the map (parallax gate rejects all)
+        tracking=TrackingConfig(th_depth=100.0, mono_init_min_matches=50, kf_min_gap=2),
     )
 
 
@@ -35,7 +37,7 @@ def mono_cfg():
 def test_mono_tracking_ate():
     cfg = mono_cfg()
     seq = synthetic.default_sequence(
-        n_frames=30, kind="lateral", n_points=3000, cam=cfg.camera
+        n_frames=24, kind="lateral", n_points=3000, cam=cfg.camera
     )
     slam = System(cfg)
     for i in range(len(seq)):
