@@ -410,7 +410,9 @@ def keyframe_full_step(
             max_points=max_points, obs_slots=obs_slots,
             iters1=iters1, iters2=iters2,
         )
-    return state, kf_id, new_pids, keep
+    # return the (possibly BA-adjusted) anchors so the host needs no extra
+    # gather dispatches to refresh the tracker
+    return state, kf_id, new_pids, keep, state.kf_Tcw[kf_id], state.kf_point_idx[kf_id]
 
 
 @partial(

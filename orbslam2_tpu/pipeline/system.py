@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,14 +104,18 @@ class System:
         ):
             kf_frame, kf_Tcw, kf_bind = self.tracker.kf_request
             self.tracker.kf_request = None
-            kf_id = self._run_keyframe_pipeline(kf_frame, kf_Tcw, kf_bind)
+            kf_id, kf_Tcw_new, kf_bind_new, kf_Tcw_np, loop_fired = (
+                self._run_keyframe_pipeline(kf_frame, kf_Tcw, kf_bind)
+            )
             self.tracker.map = self.map
-            self.tracker.on_new_keyframe(kf_id)
+            self.tracker.on_new_keyframe(
+                kf_id, ref_pose_np=None if loop_fired else kf_Tcw_np
+            )
             # keyframe pose may have moved in BA: refresh tracker anchors and
             # drop the motion model (velocity was estimated against pre-BA
             # poses; extrapolating it against the corrected pose compounds)
-            self.tracker.last_Tcw = self.map.kf_Tcw[kf_id]
-            self.tracker.last_point_idx = self.map.kf_point_idx[kf_id]
+            self.tracker.last_Tcw = kf_Tcw_new
+            self.tracker.last_point_idx = kf_bind_new
             self.tracker.velocity = None
         else:
             self.tracker.kf_request = None
@@ -127,7 +132,7 @@ class System:
         sc = cfg.solver
         window = mapper.probation_window()
         run_ba = t.n_keyframes >= 2  # this insert makes the third keyframe
-        state, kf_dev, new_pids, keep = fused.keyframe_full_step(
+        state, kf_dev, new_pids, keep, kf_Tcw_new, kf_bind_new = fused.keyframe_full_step(
             self.map, frame, Tcw, point_idx, window, self.builder.K, t._params,
             mapper.level_sigma2, mapper.inv_sigma2,
             scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
@@ -141,12 +146,20 @@ class System:
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             run_ba=run_ba,
         )
-        kf_id = int(kf_dev)
-        state = mapper.after_keyframe(state, kf_id, new_pids, keep)
+        kf_id_np, keep_np, new_pids_np, kf_Tcw_np = jax.device_get(
+            (kf_dev, keep, new_pids, kf_Tcw_new)
+        )
+        kf_id = int(kf_id_np)
+        state = mapper.after_keyframe(state, kf_id, new_pids_np, keep_np)
+        loop_fired = False
         if self.enable_loop_closing:
+            n_before = (
+                self.loop_closer.loops_closed if self.loop_closer is not None else 0
+            )
             state = self._run_loop_closing(state, kf_id)
+            loop_fired = self.loop_closer.loops_closed > n_before
         self.map = state
-        return kf_id
+        return kf_id, kf_Tcw_new, kf_bind_new, kf_Tcw_np, loop_fired
 
     def _run_loop_closing(self, state, kf_id: int):
         """Lazy-init the vocabulary from the map's own descriptors, then run

@@ -706,13 +706,16 @@ class Tracker:
         c2 = (need_ratio or close_cond) and self.frames_since_kf >= min_gap
         return (c1 or c2) and n_inliers > 15
 
-    def on_new_keyframe(self, kf_id: int):
-        """Bookkeeping after the (fused) keyframe step ran."""
+    def on_new_keyframe(self, kf_id: int, ref_pose_np=None):
+        """Bookkeeping after the (fused) keyframe step ran. Passing
+        `ref_pose_np` (already-fetched pose) avoids a device round trip."""
         self.ref_kf = kf_id
         self.n_keyframes += 1
         self.new_keyframe_ids.append(kf_id)
-        self.last_point_idx = self.map.kf_point_idx[kf_id]
-        self.refresh_ref_pose()
+        if ref_pose_np is not None:
+            self._ref_pose_np = np.asarray(ref_pose_np)
+        else:
+            self.refresh_ref_pose()
 
     def refresh_ref_pose(self):
         """Pull the current reference-KF pose to host (used to log poses
