@@ -45,7 +45,7 @@ def main():
         map=MapConfig(max_keyframes=64, max_points=16384, max_local_points=4096),
         # kf_min_gap damps the synchronous pipeline's keyframe rate (the
         # reference's LocalMapping busy-flag plays this role asynchronously)
-        tracking=TrackingConfig(th_depth=100.0, kf_min_gap=1),
+        tracking=TrackingConfig(th_depth=100.0),
         solver=SolverConfig(ba_max_points=4096, local_ba_iters_first=4,
                             local_ba_iters_second=6),
     )

@@ -1,0 +1,105 @@
+"""Distributed-BA scaling harness (BASELINE.md §B: scaling efficiency of
+sharded global bundle adjustment).
+
+Runs the point-sharded Schur BA (parallel/sharded_ba.py) on a synthetic
+full-map problem across mesh sizes and reports per-iteration time and
+strong-scaling efficiency. On a real multi-chip/multi-host slice the mesh
+axes ride ICI/DCN; on this single-chip container the multi-device numbers
+come from the virtual CPU mesh (correctness + collective-structure check,
+not a hardware scaling measurement — run on a pod slice for real numbers).
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    force_cpu = "--cpu" in sys.argv
+    if force_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs("/root/.cache/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orbslam2_tpu.config import CameraConfig
+    from orbslam2_tpu.geometry import se3
+    from orbslam2_tpu.geometry.camera import Intrinsics
+    from orbslam2_tpu.parallel import sharded_ba
+    from orbslam2_tpu.solvers import ba
+
+    K = Intrinsics.from_config(CameraConfig(fx=480.0, fy=480.0, bf=240.0))
+    rng = np.random.default_rng(0)
+    C, Pn, O = 64, 32768, 8  # KITTI-00-scale global BA problem
+
+    cams = np.stack([
+        np.asarray(se3.exp_se3(jnp.asarray([0.4 * i, 0, 0, 0, 0.01 * i, 0], jnp.float32)))
+        for i in range(C)
+    ]).astype(np.float32)
+    pts = np.c_[
+        rng.uniform(-5, 30, Pn), rng.uniform(-4, 4, Pn), rng.uniform(4, 30, Pn)
+    ].astype(np.float32)
+    obs_cam = np.stack([rng.permutation(C)[:O] for _ in range(Pn)]).astype(np.int32)
+    Ts = cams[obs_cam]
+    pc = np.einsum("poij,pj->poi", Ts[..., :3, :3], pts) + Ts[..., :3, 3]
+    uv = np.stack(
+        [480.0 * pc[..., 0] / np.maximum(pc[..., 2], 0.1) + 319.5,
+         480.0 * pc[..., 1] / np.maximum(pc[..., 2], 0.1) + 239.5],
+        axis=-1,
+    ).astype(np.float32)
+    prob = ba.BAProblem(
+        cam_Tcw=jnp.asarray(cams),
+        cam_free=jnp.asarray(np.arange(C) >= 2),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        point_valid=jnp.ones(Pn, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(uv + rng.normal(0, 0.3, uv.shape).astype(np.float32)),
+        obs_ur=jnp.full((Pn, O), -1.0, jnp.float32),
+        obs_inv_sigma2=jnp.ones((Pn, O)),
+        obs_valid=jnp.asarray(pc[..., 2] > 0.5),
+    )
+
+    n_dev = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
+    iters = 10
+    results = {}
+    for n in sizes:
+        mesh = sharded_ba.make_points_mesh(n)
+        out = sharded_ba.sharded_bundle_adjust(prob, K, mesh, iters=2)  # warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = sharded_ba.sharded_bundle_adjust(prob, K, mesh, iters=iters)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[n] = dt
+
+    base = results[sizes[0]] * sizes[0]
+    eff = {
+        n: round(base / (results[n] * n), 3) for n in sizes
+    }
+    print(json.dumps({
+        "metric": "sharded_ba_iter_ms",
+        "value": round(results[max(sizes)] * 1e3, 2),
+        "unit": f"ms/iter @ {max(sizes)} devices (C={C}, P={Pn}, O={O})",
+        "vs_baseline": eff[max(sizes)],
+        "extra": {
+            "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in results.items()},
+            "strong_scaling_efficiency": eff,
+            "devices": [str(d) for d in jax.devices()[:2]],
+            "note": "virtual CPU mesh unless run on a pod slice",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam2_tpu.ops import hamming
+from orbslam2_tpu.ops import pallas_hamming
 
 TH_HIGH = 100
 TH_LOW = 50
@@ -109,7 +110,7 @@ def match_gated(
 ) -> MatchResult:
     """Generic dense matcher: full Hamming matrix + gate mask + ratio test
     (+ optional rotation-consistency histogram filter)."""
-    dist = hamming.distance_matrix(desc_a, desc_b)
+    dist = pallas_hamming.distance_matrix(desc_a, desc_b)
     best_idx, best, second = _masked_best2(dist, gate)
     ok = best <= max_dist
     if ratio < 1.0:

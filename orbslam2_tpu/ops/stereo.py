@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam2_tpu.ops import hamming
+from orbslam2_tpu.ops import pallas_hamming
 from orbslam2_tpu.ops.match import _masked_best2
 
 _SAD_HALF = 5          # 11x11 window (reference w=5, src/Frame.cc:601)
@@ -95,7 +96,7 @@ def compute_stereo_matches(
     gate &= (disp >= -3.0) & (disp <= max_d)
     gate &= left_valid[:, None] & right_valid[None, :]
 
-    dist = hamming.distance_matrix(left_desc, right_desc)
+    dist = pallas_hamming.distance_matrix(left_desc, right_desc)
     best_idx, best, _ = _masked_best2(dist, gate)
     coarse_ok = best < _COARSE_TH
 
