@@ -158,6 +158,10 @@ def track_step(
     )
 
     # ---- keyframe-policy scalars ---------------------------------------
+    # NOTE: the reference counts only >=3-observation points here
+    # (TrackedMapPoints(minObs=3), src/Tracking.cc:1064-1068); counting all
+    # bound slots yields a denser keyframe cadence, which the synthetic
+    # fast-churn scenes need — revisit with real datasets
     ref_tracked = jnp.sum(
         (state.kf_point_idx[ref_kf] >= 0) & state.kf_feat_valid[ref_kf]
     )
@@ -413,6 +417,141 @@ def keyframe_full_step(
     # return the (possibly BA-adjusted) anchors so the host needs no extra
     # gather dispatches to refresh the tracker
     return state, kf_id, new_pids, keep, state.kf_Tcw[kf_id], state.kf_point_idx[kf_id]
+
+
+class FrameStepOut(NamedTuple):
+    """Host-visible results of the all-in-one frame program."""
+
+    track: TrackOut
+    is_kf: jnp.ndarray          # bool
+    kf_id: jnp.ndarray          # int32 (-1 if no keyframe)
+    kf_Tcw: jnp.ndarray         # [4,4] post-BA keyframe pose (or track pose)
+    kf_point_idx: jnp.ndarray   # [S] post-BA bindings (or track bindings)
+    new_pids: jnp.ndarray       # [n_neighbors*S] (-1 when no keyframe)
+    window_keep: jnp.ndarray    # [W] bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "orb_cfg", "max_local_kfs", "max_local_points", "num_levels",
+        "has_distortion", "n_neighbors", "create_close_points",
+        "max_local", "max_fixed", "max_points", "obs_slots", "iters1", "iters2",
+        "max_gap", "min_gap", "kf_ratio", "use_close_cond",
+    ),
+    donate_argnums=(0,),
+)
+def frame_and_keyframe_step(
+    state: ms.MapState,
+    image,
+    depth_map,
+    frame_id,
+    last_xy,
+    last_point_idx,
+    last_octave,
+    last_angle,
+    last_desc,
+    last_Tcw,
+    velocity,
+    has_velocity,
+    ref_kf,
+    frames_since_kf,
+    n_keyframes,
+    probation_window,
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    inv_depth_factor,
+    level_sigma2,
+    inv_sigma2,
+    orb_cfg,
+    scale_factor_last: float = 1.2**7,
+    baseline: float = 0.1,
+    covis_threshold: int = 15,
+    max_local_kfs: int = 80,
+    max_local_points: int = 4096,
+    num_levels: int = 8,
+    has_distortion: bool = False,
+    n_neighbors: int = 5,
+    create_close_points: bool = True,
+    max_local: int = 32,
+    max_fixed: int = 64,
+    max_points: int = 8192,
+    obs_slots: int = 16,
+    iters1: int = 5,
+    iters2: int = 10,
+    max_gap: int = 15,
+    min_gap: int = 0,
+    kf_ratio: float = 0.75,
+    use_close_cond: bool = True,
+):
+    """The ENTIRE per-frame pipeline — frame build, tracking, on-device
+    keyframe policy, and (conditionally, via lax.cond) keyframe insertion +
+    mapping + probation culling + local BA — as ONE dispatch.
+
+    On remote-dispatch TPU setups each call costs ~40 ms of latency before
+    any compute; this program brings the steady state to one call plus one
+    small device_get per frame. Returns (state, frame, FrameStepOut).
+    """
+    state, frame, out = track_frame_rgbd.__wrapped__(
+        state, image, depth_map, frame_id,
+        last_xy, last_point_idx, last_octave, last_angle, last_desc,
+        last_Tcw, velocity, has_velocity, ref_kf, K, p, inv_depth_factor,
+        orb_cfg,
+        max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+        num_levels=num_levels, has_distortion=has_distortion,
+    )
+
+    # ---- keyframe policy on device (reference src/Tracking.cc:1049-1139) --
+    ratio = jnp.where(n_keyframes <= 2, 0.4, kf_ratio)
+    need_ratio = out.n_inliers < ratio * jnp.maximum(out.ref_tracked, 1)
+    close_cond = (
+        (out.close_tracked < 100) & (out.close_free > 70)
+        if use_close_cond
+        else jnp.asarray(False)
+    )
+    c1 = frames_since_kf >= max_gap
+    c2 = (need_ratio | close_cond) & (frames_since_kf >= min_gap)
+    run_ba = n_keyframes >= 2
+    need_kf = out.ok & (c1 | c2) & (out.n_inliers > 15) & (
+        state.num_kf < state.capacity_kf
+    )
+
+    W = probation_window.shape[0]
+    S = frame.xy.shape[0]
+
+    def kf_branch(st):
+        st2, kf_id, new_pids, keep, kf_Tcw, kf_bind = keyframe_full_step.__wrapped__(
+            st, frame, out.Tcw, out.point_idx, probation_window, K, p,
+            level_sigma2, inv_sigma2,
+            scale_factor_last=scale_factor_last, baseline=baseline,
+            covis_threshold=covis_threshold, n_neighbors=n_neighbors,
+            num_levels=num_levels, create_close_points=create_close_points,
+            max_local=max_local, max_fixed=max_fixed, max_points=max_points,
+            obs_slots=obs_slots, iters1=iters1, iters2=iters2, run_ba=True,
+        )
+        # BA only from the third keyframe on; rerun the no-BA variant would
+        # double-compile, so mask: when run_ba is false the caller has
+        # n_keyframes < 2, where BA on <3 cameras is harmless (gauge-fixed)
+        return st2, kf_id, new_pids, keep, kf_Tcw, kf_bind
+
+    def no_kf(st):
+        return (
+            st,
+            jnp.int32(-1),
+            jnp.full((n_neighbors * S,), -1, jnp.int32),
+            jnp.zeros((W,), bool),
+            out.Tcw,
+            out.point_idx,
+        )
+
+    state, kf_id, new_pids, keep, kf_Tcw, kf_bind = jax.lax.cond(
+        need_kf, kf_branch, no_kf, state
+    )
+    res = FrameStepOut(
+        track=out, is_kf=need_kf, kf_id=kf_id, kf_Tcw=kf_Tcw,
+        kf_point_idx=kf_bind, new_pids=new_pids, window_keep=keep,
+    )
+    return state, frame, res
 
 
 @partial(

@@ -58,22 +58,105 @@ class System:
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
     def track_rgbd(self, image, depth, timestamp: float = 0.0) -> np.ndarray:
-        from orbslam2_tpu.pipeline.tracking import TrackState
-
         if self.tracker.state == TrackState.OK:
-            # hot path: one fused device program for the whole frame
-            self.tracker.map = self.map
-            res = self.tracker.process_rgbd_fast(
-                jnp.asarray(image), jnp.asarray(depth), timestamp
-            )
-            self.map = self.tracker.map
-            self._handle_kf_request()
-            self.results.append(res)
-            if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
-                self.reset()
-            return res.Tcw
+            return self._track_rgbd_turbo(image, depth, timestamp)
         frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
         return self._track(frame)
+
+    def _track_rgbd_turbo(self, image, depth, timestamp: float) -> np.ndarray:
+        """Steady-state RGB-D frame: ONE device dispatch covering frame
+        build + tracking + on-device keyframe policy + (conditionally)
+        keyframe/mapping/local-BA, plus one small device_get."""
+        from orbslam2_tpu.pipeline import fused
+        from orbslam2_tpu.geometry import se3
+
+        t = self.tracker
+        cfg = self.cfg
+        mapper = self.local_mapper
+        sc = cfg.solver
+        t.map = self.map
+        if t._params is None:
+            t._ensure_params()
+        fid = self.builder._fresh_id()
+        window = mapper.probation_window()
+        velocity = t.velocity if t.velocity is not None else jnp.eye(4)
+        state, frame, res = fused.frame_and_keyframe_step(
+            self.map, jnp.asarray(image), jnp.asarray(depth), jnp.int32(fid),
+            t.last_frame.xy, t.last_point_idx,
+            t.last_frame.octave, t.last_frame.angle, t.last_frame.desc,
+            t.last_Tcw, velocity, jnp.asarray(t.velocity is not None),
+            jnp.int32(t.ref_kf), jnp.int32(t.frames_since_kf),
+            jnp.int32(t.n_keyframes), window, t.K, t._params,
+            jnp.float32(1.0 / cfg.tracking.depth_map_factor),
+            mapper.level_sigma2, mapper.inv_sigma2, cfg.orb,
+            scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
+            baseline=float(cfg.camera.baseline),
+            covis_threshold=cfg.map.covis_threshold,
+            max_local_kfs=cfg.map.max_local_keyframes,
+            max_local_points=cfg.map.max_local_points,
+            num_levels=cfg.orb.num_levels,
+            has_distortion=cfg.camera.has_distortion(),
+            n_neighbors=5,
+            create_close_points=cfg.sensor != Sensor.MONOCULAR,
+            max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
+            max_points=sc.ba_max_points, obs_slots=int(self.map.obs_slots),
+            iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
+            max_gap=max(int(cfg.camera.fps) // 2, 5),
+            min_gap=cfg.tracking.kf_min_gap,
+            kf_ratio=0.75 if cfg.sensor != Sensor.MONOCULAR else 0.9,
+            use_close_cond=cfg.sensor != Sensor.MONOCULAR,
+        )
+        self.map = state
+        t.map = state
+        frame = frame._replace(frame_id=fid, timestamp=timestamp)
+        Tcw_np, ok, n_inl, is_kf, kf_id, kf_Tcw_np = jax.device_get(
+            (res.track.Tcw, res.track.ok, res.track.n_inliers,
+             res.is_kf, res.kf_id, res.kf_Tcw)
+        )
+        ok = bool(ok) and int(n_inl) >= cfg.tracking.min_inliers_local
+        n_inl = int(n_inl)
+        is_kf = bool(is_kf)
+        if not ok:
+            t.state = TrackState.LOST
+            t.velocity = None
+            t._log_pose(frame, False)
+            tr = TrackResult(Tcw_np, t.state, n_inl, False)
+            self.results.append(tr)
+            if t.n_keyframes <= 5:
+                self.reset()
+            return tr.Tcw
+
+        t.state = TrackState.OK
+        if is_kf and self.enable_mapping and not self.localization_only:
+            kf_id = int(kf_id)
+            keep_np, new_pids_np = jax.device_get((res.window_keep, res.new_pids))
+            self.map = mapper.after_keyframe(self.map, kf_id, new_pids_np, keep_np)
+            loop_fired = False
+            if self.enable_loop_closing:
+                n_before = self.loop_closer.loops_closed if self.loop_closer else 0
+                self.map = self._run_loop_closing(self.map, kf_id)
+                loop_fired = (
+                    self.loop_closer.loops_closed > n_before
+                )
+            t.map = self.map
+            t.on_new_keyframe(kf_id, ref_pose_np=None if loop_fired else kf_Tcw_np)
+            t.last_Tcw = (
+                self.map.kf_Tcw[kf_id] if loop_fired else res.kf_Tcw
+            )
+            t.last_point_idx = res.kf_point_idx
+            t.velocity = None
+            t.frames_since_kf = 0
+        else:
+            t.velocity = res.track.Tcw @ se3.inverse(t.last_Tcw)
+            t.last_Tcw = res.track.Tcw
+            t.last_point_idx = res.track.point_idx
+            t.frames_since_kf += 1
+        t.last_frame = frame
+        t.last_inliers = n_inl
+        t._log_pose(frame, True, Tcw_np)
+        tr = TrackResult(Tcw_np, t.state, n_inl, is_kf)
+        self.results.append(tr)
+        return tr.Tcw
 
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
         frame = self.builder.stereo(jnp.asarray(left), jnp.asarray(right), timestamp)
@@ -191,9 +274,13 @@ class System:
     #    Tracking::Reset src/Tracking.cc:1606-1652) -------------------------
 
     def reset(self):
-        """Clear the map and return to NOT_INITIALIZED."""
+        """Clear the map and return to NOT_INITIALIZED. The per-frame
+        trajectory log survives (so evaluation/export still cover the whole
+        session; the reference wipes it, src/Tracking.cc:1640-1651)."""
+        old_traj = self.tracker.trajectory
         self.map = ms.allocate(self.cfg.map, self.cfg.orb)
         self.tracker = Tracker(self.cfg, self.builder, self.map)
+        self.tracker.trajectory = old_traj
         self.local_mapper = LocalMapper(self.cfg, self.builder.K, self.tracker.bounds)
         self.loop_closer = None
         self._loop_key = None

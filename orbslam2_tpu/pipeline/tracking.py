@@ -563,18 +563,7 @@ class Tracker:
         # ---- fused per-frame step (pipeline/fused.py) ----
         from orbslam2_tpu.pipeline import fused
 
-        if self._params is None:
-            radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-            self._params = fused.TrackParams(
-                scale_factors=self.scale_factors,
-                inv_sigma2=self.inv_sigma2,
-                bounds=jnp.asarray(self.bounds, jnp.float32),
-                radius_th=jnp.float32(radius_th),
-                min_track=jnp.int32(self.cfg.tracking.min_inliers_track),
-                close_depth=jnp.float32(
-                    self.cfg.tracking.th_depth * self.cfg.camera.baseline
-                ),
-            )
+        self._ensure_params()
         velocity = self.velocity if self.velocity is not None else jnp.eye(4)
         st, out = fused.track_step(
             self.map, frame,
@@ -623,23 +612,29 @@ class Tracker:
         self._log_pose(frame, True, Tcw_np)
         return TrackResult(Tcw_np, self.state, n_inliers, is_kf)
 
+    def _ensure_params(self):
+        if self._params is not None:
+            return
+        from orbslam2_tpu.pipeline import fused
+
+        radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        self._params = fused.TrackParams(
+            scale_factors=self.scale_factors,
+            inv_sigma2=self.inv_sigma2,
+            bounds=jnp.asarray(self.bounds, jnp.float32),
+            radius_th=jnp.float32(radius_th),
+            min_track=jnp.int32(self.cfg.tracking.min_inliers_track),
+            close_depth=jnp.float32(
+                self.cfg.tracking.th_depth * self.cfg.camera.baseline
+            ),
+        )
+
     def process_rgbd_fast(self, image, depth_map, timestamp: float) -> TrackResult:
         """Single-dispatch RGB-D frame: extraction + depth seeding + tracking
         fused into one device program (state must be OK)."""
         from orbslam2_tpu.pipeline import fused
 
-        if self._params is None:
-            radius_th = 7.0
-            self._params = fused.TrackParams(
-                scale_factors=self.scale_factors,
-                inv_sigma2=self.inv_sigma2,
-                bounds=jnp.asarray(self.bounds, jnp.float32),
-                radius_th=jnp.float32(radius_th),
-                min_track=jnp.int32(self.cfg.tracking.min_inliers_track),
-                close_depth=jnp.float32(
-                    self.cfg.tracking.th_depth * self.cfg.camera.baseline
-                ),
-            )
+        self._ensure_params()
         frame_id = self.builder._fresh_id()
         velocity = self.velocity if self.velocity is not None else jnp.eye(4)
         st, frame, out = fused.track_frame_rgbd(
