@@ -457,6 +457,7 @@ def frame_and_keyframe_step(
     ref_kf,
     frames_since_kf,
     n_keyframes,
+    mapping_enabled,
     probation_window,
     K: cam_geo.Intrinsics,
     p: TrackParams,
@@ -512,8 +513,9 @@ def frame_and_keyframe_step(
     c1 = frames_since_kf >= max_gap
     c2 = (need_ratio | close_cond) & (frames_since_kf >= min_gap)
     run_ba = n_keyframes >= 2
-    need_kf = out.ok & (c1 | c2) & (out.n_inliers > 15) & (
-        state.num_kf < state.capacity_kf
+    need_kf = (
+        out.ok & (c1 | c2) & (out.n_inliers > 15)
+        & (state.num_kf < state.capacity_kf) & mapping_enabled
     )
 
     W = probation_window.shape[0]

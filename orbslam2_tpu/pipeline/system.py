@@ -86,7 +86,9 @@ class System:
             t.last_frame.octave, t.last_frame.angle, t.last_frame.desc,
             t.last_Tcw, velocity, jnp.asarray(t.velocity is not None),
             jnp.int32(t.ref_kf), jnp.int32(t.frames_since_kf),
-            jnp.int32(t.n_keyframes), window, t.K, t._params,
+            jnp.int32(t.n_keyframes),
+            jnp.asarray(self.enable_mapping and not self.localization_only),
+            window, t.K, t._params,
             jnp.float32(1.0 / cfg.tracking.depth_map_factor),
             mapper.level_sigma2, mapper.inv_sigma2, cfg.orb,
             scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
@@ -284,6 +286,24 @@ class System:
         self.local_mapper = LocalMapper(self.cfg, self.builder.K, self.tracker.bounds)
         self.loop_closer = None
         self._loop_key = None
+
+    def change_calibration(self, camera_cfg):
+        """Swap camera intrinsics at runtime (reference
+        Tracking::ChangeCalibration, src/Tracking.cc:1655-1686). The map is
+        kept; per-session static parameters are rebuilt."""
+        import dataclasses
+
+        self.cfg = dataclasses.replace(self.cfg, camera=camera_cfg)
+        old_tracker = self.tracker
+        self.builder = FrameBuilder(self.cfg)
+        self.tracker = Tracker(self.cfg, self.builder, self.map)
+        # carry session state over
+        for attr in ("state", "velocity", "last_Tcw", "last_frame",
+                     "last_point_idx", "ref_kf", "frames_since_kf",
+                     "n_keyframes", "trajectory", "new_keyframe_ids",
+                     "_ref_pose_np", "last_inliers"):
+            setattr(self.tracker, attr, getattr(old_tracker, attr))
+        self.local_mapper.K = self.builder.K
 
     # -- mode switches (reference src/System.cc:272-284) -------------------
 
