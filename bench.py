@@ -121,7 +121,9 @@ def main():
                 file=sys.stderr,
             )
     ts, poses, tracked = slam.frame_poses()
-    rmse = ate_rmse(poses, seq.poses) if tracked.all() else float("nan")
+    sel = tracked
+    rmse = ate_rmse(poses[sel], seq.poses[sel]) if sel.any() else float("nan")
+    n_lost = int((~tracked).sum())
 
     print(
         json.dumps(
@@ -132,6 +134,7 @@ def main():
                 "vs_baseline": round(fps / 30.0, 3),
                 "extra": {
                     "ate_rmse_m": round(rmse, 4),
+                    "lost_frames": n_lost,
                     "frames": n_frames - warmup,
                     "keyframes": slam.num_keyframes(),
                     "points": slam.num_points(),

@@ -42,6 +42,11 @@ class System:
         enable_loop_closing: bool = True,
     ):
         self.cfg = cfg
+        # TPU lowers f32 matmuls to bf16 passes by default; the SE3 chains
+        # and normal-equation products in the solvers need full f32 (CPU and
+        # TPU runs diverged: same sequence tracked 40/40 on CPU, lost frames
+        # on-chip). Descriptor matching uses explicit precisions already.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.builder = FrameBuilder(cfg)
         self.map = ms.allocate(cfg.map, cfg.orb)
         self.tracker = Tracker(cfg, self.builder, self.map)
