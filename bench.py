@@ -47,7 +47,8 @@ def main():
         # reference's LocalMapping busy-flag plays this role asynchronously)
         tracking=TrackingConfig(th_depth=100.0),
         solver=SolverConfig(ba_max_points=4096, local_ba_iters_first=4,
-                            local_ba_iters_second=6),
+                            local_ba_iters_second=6,
+                            ba_max_local_kfs=24, ba_max_fixed_kfs=16),
     )
     profile = "--profile" in sys.argv
     n_frames = 24 if profile else 40

@@ -419,6 +419,67 @@ def keyframe_full_step(
     return state, kf_id, new_pids, keep, state.kf_Tcw[kf_id], state.kf_point_idx[kf_id]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "max_local_kfs", "max_local_points", "num_levels",
+                     "has_distortion"),
+    donate_argnums=(0,),
+)
+def track_frame_stereo(
+    state: ms.MapState,
+    left,
+    right,
+    frame_id,
+    last_xy,
+    last_point_idx,
+    last_octave,
+    last_angle,
+    last_desc,
+    last_Tcw,
+    velocity,
+    has_velocity,
+    ref_kf,
+    K: cam_geo.Intrinsics,
+    p: TrackParams,
+    orb_cfg,
+    max_local_kfs: int = 80,
+    max_local_points: int = 4096,
+    num_levels: int = 8,
+    has_distortion: bool = False,
+):
+    """Stereo sibling of track_frame_rgbd: L/R extraction, stereo
+    correspondence (reference's two transient threads, src/Frame.cc:82-85,
+    become one batched graph) and tracking in one program."""
+    from orbslam2_tpu.ops import orb as orb_mod
+    from orbslam2_tpu.ops import pyramid as pyr_mod
+    from orbslam2_tpu.ops import stereo as stereo_mod
+    from orbslam2_tpu.pipeline.frame import FrameData
+
+    fl = orb_mod.extract.__wrapped__(left, orb_cfg)
+    fr = orb_mod.extract.__wrapped__(right, orb_cfg)
+    lv_l = pyr_mod.build_pyramid(left, orb_cfg)
+    lv_r = pyr_mod.build_pyramid(right, orb_cfg)
+    sf = jnp.asarray(pyr_mod.level_scales(orb_cfg), jnp.float32)
+    sm = stereo_mod.compute_stereo_matches(
+        fl.xy, fl.octave, fl.desc, fl.valid,
+        fr.xy, fr.octave, fr.desc, fr.valid,
+        lv_l, lv_r, sf, K.bf, K.fx,
+    )
+    und = cam_geo.undistort_pixels(fl.xy, K) if has_distortion else fl.xy
+    frame = FrameData(
+        frame_id=frame_id, timestamp=0.0,
+        xy=und, xy_raw=fl.xy, ur=sm.u_right, depth=sm.depth,
+        octave=fl.octave, angle=fl.angle, desc=fl.desc, valid=fl.valid,
+    )
+    state, out = track_step.__wrapped__(
+        state, frame, last_xy, last_point_idx, last_octave, last_angle,
+        last_desc, last_Tcw, velocity, has_velocity, ref_kf, K, p,
+        max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+        num_levels=num_levels,
+    )
+    return state, frame, out
+
+
 class FrameStepOut(NamedTuple):
     """Host-visible results of the all-in-one frame program."""
 

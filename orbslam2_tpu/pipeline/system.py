@@ -166,6 +166,17 @@ class System:
         return tr.Tcw
 
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
+        if self.tracker.state == TrackState.OK:
+            self.tracker.map = self.map
+            res = self.tracker.process_stereo_fast(
+                jnp.asarray(left), jnp.asarray(right), timestamp
+            )
+            self.map = self.tracker.map
+            self._handle_kf_request()
+            self.results.append(res)
+            if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
+                self.reset()
+            return res.Tcw
         frame = self.builder.stereo(jnp.asarray(left), jnp.asarray(right), timestamp)
         return self._track(frame)
 

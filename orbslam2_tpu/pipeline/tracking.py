@@ -681,6 +681,56 @@ class Tracker:
         self._log_pose(frame, True, Tcw_np)
         return TrackResult(Tcw_np, self.state, n_inliers, is_kf)
 
+    def process_stereo_fast(self, left, right, timestamp: float) -> TrackResult:
+        """Fused stereo frame (state must be OK): extraction + stereo
+        correspondence + tracking in one device program."""
+        from orbslam2_tpu.pipeline import fused
+
+        self._ensure_params()
+        frame_id = self.builder._fresh_id()
+        velocity = self.velocity if self.velocity is not None else jnp.eye(4)
+        st, frame, out = fused.track_frame_stereo(
+            self.map, left, right, jnp.int32(frame_id),
+            self.last_frame.xy, self.last_point_idx,
+            self.last_frame.octave, self.last_frame.angle, self.last_frame.desc,
+            self.last_Tcw, velocity,
+            jnp.asarray(self.velocity is not None),
+            jnp.int32(self.ref_kf), self.K, self._params, self.cfg.orb,
+            max_local_kfs=self.cfg.map.max_local_keyframes,
+            max_local_points=self.cfg.map.max_local_points,
+            num_levels=self.cfg.orb.num_levels,
+            has_distortion=self.cfg.camera.has_distortion(),
+        )
+        self.map = st
+        frame = frame._replace(frame_id=frame_id, timestamp=timestamp)
+        Tcw_np, ok, n_inliers, ref_tracked, close_t, close_f = jax.device_get(
+            (out.Tcw, out.ok, out.n_inliers, out.ref_tracked,
+             out.close_tracked, out.close_free)
+        )
+        ok = bool(ok)
+        n_inliers = int(n_inliers)
+        if not ok or n_inliers < self.cfg.tracking.min_inliers_local:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self._log_pose(frame, False)
+            return TrackResult(Tcw_np, self.state, n_inliers, False)
+
+        self.state = TrackState.OK
+        self.velocity = out.Tcw @ se3.inverse(self.last_Tcw)
+        is_kf = False
+        if self._need_new_keyframe(n_inliers, int(ref_tracked), int(close_t), int(close_f)):
+            self.kf_request = (frame, out.Tcw, out.point_idx)
+            is_kf = True
+            self.frames_since_kf = 0
+        else:
+            self.frames_since_kf += 1
+        self.last_Tcw = out.Tcw
+        self.last_frame = frame
+        self.last_point_idx = out.point_idx
+        self.last_inliers = n_inliers
+        self._log_pose(frame, True, Tcw_np)
+        return TrackResult(Tcw_np, self.state, n_inliers, is_kf)
+
     # -- keyframe policy ---------------------------------------------------
 
     def _need_new_keyframe(self, n_inliers, ref_tracked, close_tracked, close_free) -> bool:
