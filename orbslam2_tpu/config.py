@@ -112,6 +112,14 @@ class TrackingConfig:
     # minimum frames between keyframes (reference mMinFrames = 0; raise to
     # damp insertion rate in the synchronous pipeline)
     kf_min_gap: int = 0
+    # Hamming gate for motion-model / local-map projection searches. The
+    # reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) tuned to its
+    # bit_pattern_31_; our regenerated BRIEF produces true-match distances
+    # ~25-40, and the loose gate admits prediction-biased wrong matches
+    # whose quadratic pull (vs Huber-capped correct ones) locks pose
+    # optimization to the motion prediction. 64 keeps 2x headroom over
+    # true-match distances. Set 100 for reference parity.
+    match_max_dist: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -165,6 +165,260 @@ def stereo_pair(
     return left, right, depth
 
 
+# ---------------------------------------------------------------------------
+# Photometric-realistic textured world (ray-cast planes + boxes)
+# ---------------------------------------------------------------------------
+#
+# The starfield above is adversarial in ways real imagery is not: isolated
+# near-identical blobs (weak descriptor discrimination) on a flat background
+# (depth defined only ON the blobs -> ~40 % of keypoints get no RGB-D depth).
+# Real TUM/KITTI-class scenes are textured surfaces with dense depth. This
+# renderer ray-casts a closed textured room — floor/ceiling/walls plus
+# occluding boxes — with multi-octave value-noise textures anchored to each
+# surface (viewpoint-consistent, mip-faded near Nyquist), exact per-pixel
+# depth, and optional exposure drift + sensor noise.
+
+
+@dataclasses.dataclass
+class Quad:
+    """One textured rectangle: origin corner + two edge vectors (meters)."""
+
+    origin: np.ndarray   # [3]
+    eu: np.ndarray       # [3] full edge along local u
+    ev: np.ndarray       # [3] full edge along local v
+    seed: float          # texture seed
+    base: float = 1.0    # brightness multiplier
+
+
+@dataclasses.dataclass
+class TexturedWorld:
+    quads: list
+
+
+def make_room(
+    seed: int = 0,
+    length: float = 18.0,
+    width: float = 4.5,
+    height: float = 2.6,
+    n_boxes: int = 6,
+    back: float = 3.0,
+) -> TexturedWorld:
+    """Closed corridor room. Camera starts at the origin looking +z
+    (x right, y down): floor at y=+height/2, ceiling at y=-height/2, side
+    walls at x=+-width/2, far wall at z=length, near wall at z=-back."""
+    rng = np.random.default_rng(seed)
+    hw, hh = width / 2.0, height / 2.0
+    A = np.asarray
+    quads = [
+        # floor: u along x, v along z
+        Quad(A([-hw, hh, -back]), A([width, 0, 0]), A([0, 0, length + back]), 11.0),
+        # ceiling
+        Quad(A([-hw, -hh, -back]), A([width, 0, 0]), A([0, 0, length + back]), 23.0, 0.9),
+        # left wall (x=-hw): u along z, v along y
+        Quad(A([-hw, -hh, -back]), A([0, 0, length + back]), A([0, height, 0]), 37.0),
+        # right wall
+        Quad(A([hw, -hh, -back]), A([0, 0, length + back]), A([0, height, 0]), 41.0),
+        # far wall: u along x, v along y
+        Quad(A([-hw, -hh, length]), A([width, 0, 0]), A([0, height, 0]), 53.0),
+        # near wall (behind the start, for orbit/backward views)
+        Quad(A([-hw, -hh, -back]), A([width, 0, 0]), A([0, height, 0]), 67.0, 0.85),
+    ]
+    for b in range(n_boxes):
+        sx = rng.uniform(0.4, 0.9)
+        sy = rng.uniform(0.6, 1.6)
+        sz = rng.uniform(0.4, 0.9)
+        cx = rng.uniform(-hw + 0.7, hw - 0.7)
+        cz = 1.5 + (length - 4.0) * (b + rng.uniform(0.0, 0.8)) / n_boxes
+        x0, z0 = cx - sx / 2.0, cz - sz / 2.0
+        y0 = hh - sy          # sits on the floor, extends up (-y)
+        s = 100.0 + 13.0 * b
+        quads += [
+            # top face
+            Quad(A([x0, y0, z0]), A([sx, 0, 0]), A([0, 0, sz]), s + 1),
+            # front face (toward camera, -z normal)
+            Quad(A([x0, y0, z0]), A([sx, 0, 0]), A([0, sy, 0]), s + 2),
+            # back face
+            Quad(A([x0, y0, z0 + sz]), A([sx, 0, 0]), A([0, sy, 0]), s + 3),
+            # left face
+            Quad(A([x0, y0, z0]), A([0, 0, sz]), A([0, sy, 0]), s + 4),
+            # right face
+            Quad(A([x0 + sx, y0, z0]), A([0, 0, sz]), A([0, sy, 0]), s + 5),
+        ]
+    return TexturedWorld(quads=quads)
+
+
+def _vnoise(a: np.ndarray, b: np.ndarray, seed: float) -> np.ndarray:
+    """Smoothstep-interpolated value noise on a unit lattice, in [0, 1)."""
+    ia = np.floor(a)
+    ib = np.floor(b)
+    fa = a - ia
+    fb = b - ib
+    fa = fa * fa * (3.0 - 2.0 * fa)
+    fb = fb * fb * (3.0 - 2.0 * fb)
+
+    def h(i, j):
+        x = np.sin(i * 127.1 + j * 311.7 + seed * 74.7) * 43758.5453
+        return x - np.floor(x)
+
+    v00 = h(ia, ib)
+    v10 = h(ia + 1.0, ib)
+    v01 = h(ia, ib + 1.0)
+    v11 = h(ia + 1.0, ib + 1.0)
+    return (
+        v00 * (1 - fa) * (1 - fb)
+        + v10 * fa * (1 - fb)
+        + v01 * (1 - fa) * fb
+        + v11 * fa * fb
+    )
+
+
+_OCTAVES = ((0.9, 0.30), (0.37, 0.26), (0.15, 0.24), (0.055, 0.20))
+
+
+def _texture(a, b, seed: float, footprint: np.ndarray) -> np.ndarray:
+    """Multi-octave surface texture in [0, 1]. Octaves whose wavelength
+    approaches the pixel footprint are faded out (mip filtering) so the
+    appearance stays consistent across viewing distance."""
+    total = np.zeros_like(a)
+    wsum = np.zeros_like(a)
+    for wl, w in _OCTAVES:
+        fade = np.clip(wl / np.maximum(footprint, 1e-6) / 4.0 - 0.5, 0.0, 1.0)
+        total += (w * fade) * _vnoise(a / wl, b / wl, seed + wl * 17.0)
+        wsum += w * fade
+    return total / np.maximum(wsum, 1e-6)
+
+
+def render_textured(
+    world: TexturedWorld,
+    Tcw: np.ndarray,
+    cam: CameraConfig,
+    noise: float = 1.0,
+    seed: int = 0,
+    exposure: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ray-cast (image [H, W] float32 0..255, depth [H, W] float32 meters).
+
+    Depth is the camera-frame z of the first hit (0 where no surface —
+    does not happen inside the closed room). Rays are parameterized so the
+    ray parameter IS the camera-frame depth: dir_cam = ((u-cx)/fx,
+    (v-cy)/fy, 1)."""
+    H, W = cam.height, cam.width
+    Twc = np.linalg.inv(Tcw)
+    Rwc, C = Twc[:3, :3], Twc[:3, 3]
+    us, vs = np.meshgrid(
+        np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64)
+    )
+    dir_cam = np.stack(
+        [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)], -1
+    ).reshape(-1, 3)
+    dirs_w = dir_cam @ Rwc.T
+
+    best_t = np.full(H * W, np.inf)
+    img = np.zeros(H * W)
+    for q in world.quads:
+        n = np.cross(q.eu, q.ev)
+        denom = dirs_w @ n
+        tnum = float((q.origin - C) @ n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = tnum / denom
+        hit = np.isfinite(t) & (t > 0.05) & (t < best_t)
+        if not hit.any():
+            continue
+        p = C + t[hit, None] * dirs_w[hit]
+        d = p - q.origin
+        lu2 = float(q.eu @ q.eu)
+        lv2 = float(q.ev @ q.ev)
+        a = (d @ q.eu) / lu2
+        b = (d @ q.ev) / lv2
+        on = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+        if not on.any():
+            continue
+        idx = np.nonzero(hit)[0][on]
+        tq = t[idx]
+        foot = tq / cam.fx  # meters per pixel at that depth (fronto approx)
+        val = _texture(
+            a[on] * np.sqrt(lu2), b[on] * np.sqrt(lv2), q.seed, foot
+        )
+        img[idx] = (22.0 + 212.0 * val) * q.base
+        best_t[idx] = tq
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).reshape(H, W)
+    image = img.reshape(H, W) * exposure
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        image = image + rng.normal(0.0, noise, size=image.shape)
+    return (
+        np.clip(image, 0.0, 255.0).astype(np.float32),
+        depth.astype(np.float32),
+    )
+
+
+@dataclasses.dataclass
+class TexturedSequence:
+    """RGB-D / stereo / mono sequence over the ray-cast textured room."""
+
+    world: TexturedWorld
+    poses: np.ndarray          # [N, 4, 4] ground-truth Tcw
+    cam: CameraConfig
+    noise: float = 1.0
+    exposure_drift: float = 0.0   # peak fractional gain drift over the run
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def _exposure(self, i: int) -> float:
+        if self.exposure_drift == 0.0:
+            return 1.0
+        return 1.0 + self.exposure_drift * np.sin(2.0 * np.pi * i / max(len(self), 1))
+
+    def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        return render_textured(
+            self.world, self.poses[i], self.cam, noise=self.noise, seed=i,
+            exposure=self._exposure(i),
+        )
+
+    def stereo(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        left, depth = self.frame(i)
+        T_rl = np.eye(4)
+        T_rl[0, 3] = -self.cam.baseline
+        right, _ = render_textured(
+            self.world, T_rl @ self.poses[i], self.cam, noise=self.noise,
+            seed=i + 50000, exposure=self._exposure(i),
+        )
+        return left, right, depth
+
+    def timestamps(self) -> np.ndarray:
+        return np.arange(len(self.poses), dtype=np.float64) / self.cam.fps
+
+
+def textured_sequence(
+    n_frames: int = 60,
+    kind: str = "forward",
+    seed: int = 0,
+    cam: Optional[CameraConfig] = None,
+    noise: float = 1.0,
+    exposure_drift: float = 0.0,
+) -> TexturedSequence:
+    """Photometric-realism sequence: textured room + occluders + optional
+    exposure drift (what VERDICT round 1 asked the starfield to become)."""
+    cam = cam or CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5, bf=48.0)
+    world = make_room(seed=seed)
+    if kind == "forward":
+        poses = forward_trajectory(n_frames)
+    elif kind == "lateral":
+        poses = lateral_trajectory(n_frames, step=0.035)
+    elif kind == "orbit":
+        poses = orbit_trajectory(n_frames, radius=3.0, center_z=9.0)
+    elif kind == "outback":
+        poses = outback_trajectory(n_frames)
+    else:
+        raise ValueError(kind)
+    return TexturedSequence(
+        world=world, poses=poses, cam=cam, noise=noise,
+        exposure_drift=exposure_drift,
+    )
+
+
 def forward_trajectory(
     n_frames: int,
     step: float = 0.06,

@@ -285,14 +285,25 @@ struct Prefetcher {
 
   bool get(int idx, Image* out) {
     std::unique_lock<std::mutex> lk(mu);
+    // Advance the consume cursor on request, not on delivery: a consumer
+    // skipping ahead (idx > cursor + max_ahead) would otherwise deadlock —
+    // workers gate on `decode_idx < cursor + max_ahead` while the consumer
+    // waits for an image those workers will never be allowed to decode.
+    if (idx + 1 > next_to_consume) {
+      next_to_consume = idx + 1;
+      cv_ready.notify_all();
+    }
     for (;;) {
-      for (auto it = ready.begin(); it != ready.end(); ++it) {
+      for (auto it = ready.begin(); it != ready.end();) {
         if (it->first == idx) {
           *out = std::move(it->second);
           ready.erase(it);
-          next_to_consume = idx + 1;
           cv_ready.notify_all();
           return true;
+        } else if (it->first < idx) {
+          it = ready.erase(it);  // consumer moved past: drop stale frames
+        } else {
+          ++it;
         }
       }
       if (stop.load()) return false;

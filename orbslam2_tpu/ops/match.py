@@ -181,6 +181,7 @@ def search_frame_to_frame(
     feat_angle: jnp.ndarray,
     radius: jnp.ndarray,
     check_rotation: bool = True,
+    max_dist=TH_HIGH,
 ) -> MatchResult:
     """Motion-model search: last frame's points projected into the current
     frame (reference SearchByProjection(Frame&, Frame&), src/ORBmatcher.cc:160-300:
@@ -191,7 +192,7 @@ def search_frame_to_frame(
         prev_desc,
         feat_desc,
         gate,
-        max_dist=TH_HIGH,
+        max_dist=max_dist,
         ratio=0.9,
         angle_a=prev_angle,
         angle_b=feat_angle,

@@ -163,19 +163,40 @@ def compute_stereo_matches(
 
 
 def compute_stereo_from_rgbd(
-    xy: jnp.ndarray,
+    xy_raw: jnp.ndarray,
+    xy_und: jnp.ndarray,
     valid: jnp.ndarray,
     depth_map: jnp.ndarray,
     depth_factor: jnp.ndarray,
     bf: jnp.ndarray,
 ) -> StereoMatches:
-    """Sample the depth map at (distorted) keypoint coords and synthesize the
-    virtual right coordinate (reference src/Frame.cc:702-726)."""
-    ix = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, depth_map.shape[1] - 1)
-    iy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, depth_map.shape[0] - 1)
+    """Sample the depth map at the RAW (distorted) keypoint coords and
+    synthesize the virtual right coordinate from the UNDISTORTED x
+    (reference src/Frame.cc:702-726: depth at kp.pt, u_right from kpU.pt.x
+    — pose-opt/BA predict ur in undistorted coordinates, so mixing frames
+    biases every stereo residual on distorted cameras)."""
+    ix = jnp.clip(jnp.round(xy_raw[:, 0]).astype(jnp.int32), 0, depth_map.shape[1] - 1)
+    iy = jnp.clip(jnp.round(xy_raw[:, 1]).astype(jnp.int32), 0, depth_map.shape[0] - 1)
     d = depth_map[iy, ix] * depth_factor
-    ok = valid & (d > 0)
+    # depth-discontinuity veto: FAST corners concentrate on occlusion
+    # silhouettes where the descriptor mixes fore/background and the sampled
+    # depth is a coin flip between them — a cluster of such high-leverage
+    # wrong-depth stereo edges drags pose optimization. If the 3x3 depth
+    # neighborhood spans > 10 % of the center depth (or holes), demote the
+    # feature to a mono edge (keep uv, drop depth/ur).
+    H, W = depth_map.shape
+    nb_min = jnp.full_like(d, jnp.inf)
+    nb_max = jnp.full_like(d, -jnp.inf)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            dn = depth_map[
+                jnp.clip(iy + dy, 0, H - 1), jnp.clip(ix + dx, 0, W - 1)
+            ] * depth_factor
+            nb_min = jnp.minimum(nb_min, dn)
+            nb_max = jnp.maximum(nb_max, dn)
+    flat = (nb_min > 0) & ((nb_max - nb_min) < 0.1 * jnp.maximum(d, 1e-6))
+    ok = valid & (d > 0) & flat
     return StereoMatches(
-        u_right=jnp.where(ok, xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0),
+        u_right=jnp.where(ok, xy_und[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0),
         depth=jnp.where(ok, d, -1.0),
     )

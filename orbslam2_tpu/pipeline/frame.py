@@ -68,14 +68,15 @@ class FrameBuilder:
 
     def rgbd(self, image: jnp.ndarray, depth_map: jnp.ndarray, timestamp: float = 0.0) -> FrameData:
         feats = orb.extract(image, self.cfg.orb)
+        und = self._undistort(feats.xy)
         sm = stereo.compute_stereo_from_rgbd(
             feats.xy,
+            und,
             feats.valid,
             depth_map,
             jnp.float32(1.0 / self.cfg.tracking.depth_map_factor),
             self.K.bf,
         )
-        und = self._undistort(feats.xy)
         return FrameData(
             frame_id=self._fresh_id(),
             timestamp=timestamp,

@@ -45,6 +45,13 @@ class TrackParams(NamedTuple):
     radius_th: jnp.ndarray       # motion-model base radius (7 or 15)
     min_track: jnp.ndarray       # min inliers to accept a stage
     close_depth: jnp.ndarray     # ThDepth * baseline
+    min_track_local: jnp.ndarray  # TrackLocalMap accept gate (reference
+    #                               src/Tracking.cc:1035-1039, 30 inliers)
+    match_max_dist: jnp.ndarray   # Hamming gate for projection searches.
+    # The reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) for its
+    # bit_pattern_31_ BRIEF; our regenerated pattern yields tighter
+    # true-match distances, and a 64 gate stops prediction-locked wrong
+    # associations from dragging pose optimization (drift loop).
 
 
 class TrackOut(NamedTuple):
@@ -88,10 +95,12 @@ def track_step(
     bind_r1, _ = trk.motion_model_match.__wrapped__(
         Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
         state.mp_pos, state.mp_valid, frame, K, p.scale_factors, p.radius_th,
+        p.match_max_dist,
     )
     bind_r2, _ = trk.motion_model_match.__wrapped__(
         Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
         state.mp_pos, state.mp_valid, frame, K, p.scale_factors, 2.0 * p.radius_th,
+        p.match_max_dist,
     )
     use_r1 = jnp.sum(bind_r1 >= 0) >= 20
     bind_mm = jnp.where(use_r1, bind_r1, bind_r2)
@@ -135,6 +144,7 @@ def track_step(
         b, vis = trk.search_local_points.__wrapped__(
             state, lpts, lpts_mask, Tcw, bind_seed, frame, K,
             p.scale_factors, bounds, radius_mult, num_levels=num_levels,
+            max_dist=p.match_max_dist,
         )
         obs = trk.build_pose_observations.__wrapped__(
             b, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
@@ -158,12 +168,18 @@ def track_step(
     )
 
     # ---- keyframe-policy scalars ---------------------------------------
-    # NOTE: the reference counts only >=3-observation points here
-    # (TrackedMapPoints(minObs=3), src/Tracking.cc:1064-1068); counting all
-    # bound slots yields a denser keyframe cadence, which the synthetic
-    # fast-churn scenes need — revisit with real datasets
+    # reference TrackedMapPoints(minObs): only points observed by >= 3
+    # keyframes count toward the reference-KF coverage (src/Tracking.cc:
+    # 1056-1068; minObs = 3 once the map has > 2 KFs). Counting every bound
+    # slot instead made `n_inliers < 0.75 * ref_tracked` true on every
+    # frame and inserted a keyframe per frame (round-1 bench: 32 KFs for
+    # 32 frames).
+    rpid = state.kf_point_idx[ref_kf]
+    rpid_c = jnp.clip(rpid, 0, state.capacity_mp - 1)
+    min_obs = jnp.where(state.num_kf > 2, 3, 2)
     ref_tracked = jnp.sum(
-        (state.kf_point_idx[ref_kf] >= 0) & state.kf_feat_valid[ref_kf]
+        (rpid >= 0) & state.kf_feat_valid[ref_kf]
+        & state.mp_valid[rpid_c] & (state.mp_n_obs[rpid_c] >= min_obs)
     )
     close = (frame.depth > 0) & (frame.depth < p.close_depth) & frame.valid
     close_tracked = jnp.sum(close & (bind_f >= 0))
@@ -224,10 +240,10 @@ def track_frame_rgbd(
     from orbslam2_tpu.pipeline.frame import FrameData
 
     feats = orb_mod.extract.__wrapped__(image, orb_cfg)
-    sm = stereo_mod.compute_stereo_from_rgbd(
-        feats.xy, feats.valid, depth_map, inv_depth_factor, K.bf
-    )
     und = cam_geo.undistort_pixels(feats.xy, K) if has_distortion else feats.xy
+    sm = stereo_mod.compute_stereo_from_rgbd(
+        feats.xy, und, feats.valid, depth_map, inv_depth_factor, K.bf
+    )
     frame = FrameData(
         frame_id=frame_id,
         timestamp=0.0,
@@ -358,8 +374,10 @@ def keyframe_step(
     state, _ = jax.lax.scan(fuse_one, state, (neigh, neigh_ok))
 
     # 5) refresh stats of this KF's bound points + the new ones
-    state = ms.recompute_point_stats.__wrapped__(state, state.kf_point_idx[kf_id])
-    state = ms.recompute_point_stats.__wrapped__(state, new_pids[: 2 * S])
+    state = ms.recompute_point_stats.__wrapped__(
+        state, state.kf_point_idx[kf_id], p.scale_factors
+    )
+    state = ms.recompute_point_stats.__wrapped__(state, new_pids[: 2 * S], p.scale_factors)
     return state, kf_id, new_pids
 
 
@@ -574,8 +592,13 @@ def frame_and_keyframe_step(
     c1 = frames_since_kf >= max_gap
     c2 = (need_ratio | close_cond) & (frames_since_kf >= min_gap)
     run_ba = n_keyframes >= 2
+    # the device policy must not out-accept the host: the host declares the
+    # frame LOST below min_inliers_local (system.py), so inserting a
+    # keyframe there would orphan it (never registered with the mapper /
+    # loop DB). Gate on the same threshold.
     need_kf = (
         out.ok & (c1 | c2) & (out.n_inliers > 15)
+        & (out.n_inliers >= p.min_track_local)
         & (state.num_kf < state.capacity_kf) & mapping_enabled
     )
 

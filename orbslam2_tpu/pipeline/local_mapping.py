@@ -668,7 +668,7 @@ class LocalMapper:
         if len(bound_ids):
             pad = np.full(state.kf_xy.shape[1], -1, np.int32)
             pad[: len(bound_ids)] = bound_ids[: len(pad)]
-            state = ms.recompute_point_stats(state, jnp.asarray(pad))
+            state = ms.recompute_point_stats(state, jnp.asarray(pad), self.scale_factors)
 
         # 2) map point culling over the probation window
         if len(self.recent_points):
@@ -691,7 +691,7 @@ class LocalMapper:
             S = state.kf_xy.shape[1]
             pad = np.full(max(S, len(np.asarray(new_pids))), -1, np.int32)
             pad[: len(np.asarray(new_pids))] = np.asarray(new_pids)
-            state = ms.recompute_point_stats(state, jnp.asarray(pad[:S]))
+            state = ms.recompute_point_stats(state, jnp.asarray(pad[:S]), self.scale_factors)
 
         # 4) fuse duplicates with neighbors (both directions)
         my_points = state.kf_point_idx[kf_id]

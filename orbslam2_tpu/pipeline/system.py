@@ -134,6 +134,7 @@ class System:
             return tr.Tcw
 
         t.state = TrackState.OK
+        prev_Tcw = t.last_Tcw
         if is_kf and self.enable_mapping and not self.localization_only:
             kf_id = int(kf_id)
             keep_np, new_pids_np = jax.device_get((res.window_keep, res.new_pids))
@@ -151,10 +152,17 @@ class System:
                 self.map.kf_Tcw[kf_id] if loop_fired else res.kf_Tcw
             )
             t.last_point_idx = res.kf_point_idx
-            t.velocity = None
+            # keep the motion model alive across keyframes (the reference
+            # updates mVelocity every frame, src/Tracking.cc:447-456; local
+            # BA only nudges the pose, and track_step has a 2x-radius
+            # fallback). Dropping it made every post-KF frame fall back to
+            # the slower reference-KF branch.
+            t.velocity = (
+                None if loop_fired else res.track.Tcw @ se3.inverse(prev_Tcw)
+            )
             t.frames_since_kf = 0
         else:
-            t.velocity = res.track.Tcw @ se3.inverse(t.last_Tcw)
+            t.velocity = res.track.Tcw @ se3.inverse(prev_Tcw)
             t.last_Tcw = res.track.Tcw
             t.last_point_idx = res.track.point_idx
             t.frames_since_kf += 1

@@ -69,6 +69,7 @@ def motion_model_match(
     K: cam_geo.Intrinsics,
     scale_factors,
     radius_th,
+    max_dist=match.TH_HIGH,
 ):
     """Project last frame's bound points into the predicted pose and match
     (reference SearchByProjection Frame-to-Frame, src/ORBmatcher.cc:160-300).
@@ -86,7 +87,7 @@ def motion_model_match(
     res = match.search_frame_to_frame(
         last_desc, uv, last_octave, vis, last_angle,
         frame.desc, frame.xy, frame.octave, frame.valid, frame.angle,
-        radius,
+        radius, max_dist=max_dist,
     )
     # per current-feature binding: assigned[s] = index into last frame slots
     assigned = res.assigned  # [S] -> last-frame slot or -1
@@ -177,6 +178,7 @@ def search_local_points(
     image_bounds,         # (xmin, xmax, ymin, ymax)
     radius_mult,
     num_levels: int = 8,
+    max_dist=match.TH_HIGH,
 ):
     """Frustum-check local points, predict scale, and project-match into the
     frame's unbound features (reference Frame::isInFrustum src/Frame.cc:288-345
@@ -227,7 +229,7 @@ def search_local_points(
     res = match.search_by_projection(
         state.mp_desc[local_points], uv, pred_octave, visible,
         frame.desc, frame.xy, frame.octave, free_feat,
-        radius, max_dist=match.TH_HIGH, ratio=0.8,
+        radius, max_dist=max_dist, ratio=0.8,
     )
     assigned = res.assigned  # feature -> local point row
     new_bind = jnp.where(
@@ -441,7 +443,7 @@ class Tracker:
 
         st = lm_mod.bind_points_to_kf(st, kf1, f2c.astype(jnp.int32), pids, pids >= 0)
         st = ms.update_covisibility_row(st, kf1)
-        st = ms.recompute_point_stats(st, pids)
+        st = ms.recompute_point_stats(st, pids, self.scale_factors)
         self.map = st
         self.ref_kf = int(kf1)
         self.last_Tcw = T21
@@ -627,6 +629,8 @@ class Tracker:
             close_depth=jnp.float32(
                 self.cfg.tracking.th_depth * self.cfg.camera.baseline
             ),
+            min_track_local=jnp.int32(self.cfg.tracking.min_inliers_local),
+            match_max_dist=jnp.int32(self.cfg.tracking.match_max_dist),
         )
 
     def process_rgbd_fast(self, image, depth_map, timestamp: float) -> TrackResult:

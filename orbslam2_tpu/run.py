@@ -66,9 +66,17 @@ def main(argv=None) -> int:
                 img, depth = seq.frame(i)
                 yield ("rgbd", img, depth, i / 30.0)
     elif args.dataset == "tum":
+        import dataclasses
+
         from orbslam2_tpu.io.datasets import TumRgbdDataset
 
+        # DepthMapFactor is applied exactly once (reference src/Tracking.cc:
+        # 128-133): the dataset converts raw uint16 counts to meters, so the
+        # pipeline must see factor 1.0 — not divide a second time.
         ds = TumRgbdDataset(args.root, depth_factor=cfg.tracking.depth_map_factor or 5000.0)
+        cfg = dataclasses.replace(
+            cfg, tracking=dataclasses.replace(cfg.tracking, depth_map_factor=1.0)
+        )
         n = min(len(ds), args.frames) if args.frames else len(ds)
 
         def frames():

@@ -15,9 +15,7 @@ from tests.test_e2e_rgbd import small_cfg
 @pytest.mark.slow
 def test_stereo_tracking_ate():
     cfg = small_cfg(sensor=Sensor.STEREO)
-    seq = synthetic.default_sequence(
-        n_frames=24, kind="forward", n_points=3000, cam=cfg.camera
-    )
+    seq = synthetic.textured_sequence(n_frames=24, kind="forward", cam=cfg.camera)
     slam = System(cfg)
     for i in range(len(seq)):
         left, right, _ = seq.stereo(i)

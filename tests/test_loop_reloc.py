@@ -14,9 +14,7 @@ from tests.test_e2e_rgbd import small_cfg
 @pytest.mark.slow
 def test_outback_loop_closure():
     cfg = small_cfg()
-    seq = synthetic.default_sequence(
-        n_frames=44, kind="outback", n_points=3500, cam=cfg.camera
-    )
+    seq = synthetic.textured_sequence(n_frames=44, kind="outback", cam=cfg.camera)
     slam = System(cfg)
     for i in range(len(seq)):
         img, depth = seq.frame(i)
@@ -36,9 +34,7 @@ def test_outback_loop_closure():
 @pytest.mark.slow
 def test_relocalization_after_blackout():
     cfg = small_cfg()
-    seq = synthetic.default_sequence(
-        n_frames=20, kind="forward", n_points=3000, cam=cfg.camera
-    )
+    seq = synthetic.textured_sequence(n_frames=20, kind="forward", cam=cfg.camera)
     slam = System(cfg)
     for i in range(14):
         img, depth = seq.frame(i)

@@ -95,7 +95,10 @@ class TestMapState:
         )
         pi = jnp.full(32, -1, jnp.int32).at[jnp.arange(4)].set(jnp.arange(4, dtype=jnp.int32))
         st, k1 = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=1, point_idx=pi))
-        st2 = ms.recompute_point_stats(st, jnp.arange(4, dtype=jnp.int32))
+        st2 = ms.recompute_point_stats(
+            st, jnp.arange(4, dtype=jnp.int32),
+            jnp.asarray([1.2**i for i in range(8)], jnp.float32),
+        )
         # elected descriptor must be one of the observed descriptors
         for p in range(4):
             obs_descs = [np.asarray(st.kf_desc[0, p]), np.asarray(st.kf_desc[1, p])]

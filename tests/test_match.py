@@ -172,7 +172,7 @@ class TestStereo:
         xy = jnp.asarray([[100.0, 100.0], [200.0, 50.0]])
         valid = jnp.asarray([True, True])
         sm = stereo.compute_stereo_from_rgbd(
-            xy, valid, jnp.asarray(depth_map), jnp.float32(1.0), jnp.float32(48.0)
+            xy, xy, valid, jnp.asarray(depth_map), jnp.float32(1.0), jnp.float32(48.0)
         )
         np.testing.assert_allclose(np.asarray(sm.depth), [2.0, 2.0])
         np.testing.assert_allclose(np.asarray(sm.u_right), [100.0 - 24.0, 200.0 - 24.0])

@@ -14,7 +14,7 @@ from tests.test_e2e_rgbd import small_cfg
 @pytest.fixture(scope="module")
 def mapped_session(tmp_path_factory):
     cfg = small_cfg()
-    seq = synthetic.default_sequence(n_frames=14, kind="forward", n_points=2500, cam=cfg.camera)
+    seq = synthetic.textured_sequence(n_frames=14, kind="forward", cam=cfg.camera)
     slam = System(cfg)
     for i in range(len(seq)):
         img, depth = seq.frame(i)
