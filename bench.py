@@ -83,18 +83,21 @@ def main():
                 stage_times.setdefault(name, []).append(_time.perf_counter() - t0)
                 return out
 
+            # other fused programs compose via .__wrapped__ at trace time
+            inner.__wrapped__ = fn.__wrapped__
             return inner
 
-        _fused.track_frame_rgbd = _wrap("frame+track", _fused.track_frame_rgbd)
-        _fused.keyframe_full_step = _wrap("keyframe+ba", _fused.keyframe_full_step)
+        _fused.frame_and_keyframe_step = _wrap(
+            "frame+track+kf", _fused.frame_and_keyframe_step
+        )
 
-        _orig_fast = type(slam.tracker).process_rgbd_fast
-        def _timed_fast(self_t, *a, **k):
+        _orig_lc = type(slam)._run_loop_closing
+        def _timed_lc(self_s, *a, **k):
             t0 = _time.perf_counter()
-            out = _orig_fast(self_t, *a, **k)
-            stage_times.setdefault("host:process_fast", []).append(_time.perf_counter() - t0)
+            out = _orig_lc(self_s, *a, **k)
+            stage_times.setdefault("host:loop_closing", []).append(_time.perf_counter() - t0)
             return out
-        type(slam.tracker).process_rgbd_fast = _timed_fast
+        type(slam)._run_loop_closing = _timed_lc
         _orig_hkf = type(slam)._handle_kf_request
         def _timed_hkf(self_s, *a, **k):
             t0 = _time.perf_counter()

@@ -70,6 +70,12 @@ class OrbConfig:
     cell_size: int = 32                # spatial-uniformity grid cell (px, level 0)
     max_per_cell: int = 8              # per-cell cap before global top-k
     candidates_per_level: int = 4096   # FAST candidates kept per pyramid level
+    # rescale each image to a fixed mean before detection so FAST's absolute
+    # threshold is invariant to camera gain / exposure drift. Off by
+    # default: the scene-content dependence of the mean injects its own
+    # gain jitter under stable exposure (the reference has no equivalent;
+    # its datasets have locked exposure).
+    normalize_exposure: bool = False
     patch_size: int = 31               # orientation/descriptor patch
     half_patch: int = 15
     edge_threshold: int = 19           # border margin for keypoints
@@ -163,9 +169,11 @@ class VocabConfig:
 
     branching: int = 10
     depth: int = 4                      # 10^4 = 10k leaves (dense-matmul friendly)
-    # flat-codebook size actually used by the TPU build (vocab/bow.py —
-    # the hierarchical tree is a CPU artifact; a flat codebook is exact)
-    vocab_size: int = 1024
+    # flat-codebook size ceiling actually used by the TPU build (vocab/bow.py
+    # — the hierarchical tree is a CPU artifact; a flat codebook is exact).
+    # The live size grows with the session's descriptor reservoir in
+    # power-of-2 buckets up to this ceiling (loop_closing.DescriptorReservoir).
+    vocab_size: int = 4096
     train_iters: int = 6
     seed: int = 0
     # loop/reloc candidate capacities

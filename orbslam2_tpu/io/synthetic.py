@@ -202,6 +202,7 @@ def make_room(
     height: float = 2.6,
     n_boxes: int = 6,
     back: float = 3.0,
+    box_region: Optional[tuple] = None,   # (xmin, xmax, zmin, zmax)
 ) -> TexturedWorld:
     """Closed corridor room. Camera starts at the origin looking +z
     (x right, y down): floor at y=+height/2, ceiling at y=-height/2, side
@@ -227,8 +228,13 @@ def make_room(
         sx = rng.uniform(0.4, 0.9)
         sy = rng.uniform(0.6, 1.6)
         sz = rng.uniform(0.4, 0.9)
-        cx = rng.uniform(-hw + 0.7, hw - 0.7)
-        cz = 1.5 + (length - 4.0) * (b + rng.uniform(0.0, 0.8)) / n_boxes
+        if box_region is not None:
+            x0_, x1_, z0_, z1_ = box_region
+            cx = rng.uniform(x0_, x1_)
+            cz = z0_ + (z1_ - z0_) * (b + rng.uniform(0.0, 0.8)) / n_boxes
+        else:
+            cx = rng.uniform(-hw + 0.7, hw - 0.7)
+            cz = 1.5 + (length - 4.0) * (b + rng.uniform(0.0, 0.8)) / n_boxes
         x0, z0 = cx - sx / 2.0, cz - sz / 2.0
         y0 = hh - sy          # sits on the floor, extends up (-y)
         s = 100.0 + 13.0 * b
@@ -272,7 +278,12 @@ def _vnoise(a: np.ndarray, b: np.ndarray, seed: float) -> np.ndarray:
     )
 
 
-_OCTAVES = ((0.9, 0.30), (0.37, 0.26), (0.15, 0.24), (0.055, 0.20))
+_OCTAVES = (
+    (0.9, 0.24), (0.37, 0.20), (0.15, 0.19), (0.055, 0.16),
+    # sub-2cm octaves give close-range (1-4 m) surfaces FAST-detectable
+    # micro-texture; the per-pixel mip fade removes them at distance
+    (0.02, 0.12), (0.0075, 0.09),
+)
 
 
 def _texture(a, b, seed: float, footprint: np.ndarray) -> np.ndarray:
@@ -282,7 +293,9 @@ def _texture(a, b, seed: float, footprint: np.ndarray) -> np.ndarray:
     total = np.zeros_like(a)
     wsum = np.zeros_like(a)
     for wl, w in _OCTAVES:
-        fade = np.clip(wl / np.maximum(footprint, 1e-6) / 4.0 - 0.5, 0.0, 1.0)
+        # full weight once the wavelength spans >= 4 px, zero below 2 px
+        px_per_wl = wl / np.maximum(footprint, 1e-6)
+        fade = np.clip((px_per_wl - 2.0) / 2.0, 0.0, 1.0)
         total += (w * fade) * _vnoise(a / wl, b / wl, seed + wl * 17.0)
         wsum += w * fade
     return total / np.maximum(wsum, 1e-6)
@@ -398,18 +411,36 @@ def textured_sequence(
     cam: Optional[CameraConfig] = None,
     noise: float = 1.0,
     exposure_drift: float = 0.0,
+    room_kw: Optional[dict] = None,
 ) -> TexturedSequence:
     """Photometric-realism sequence: textured room + occluders + optional
-    exposure drift (what VERDICT round 1 asked the starfield to become)."""
+    exposure drift (what VERDICT round 1 asked the starfield to become).
+
+    `kind="orbit"` circles the room center looking inward — opposite
+    sides of the orbit see disjoint structure, so covisibility genuinely
+    breaks and the return leg is a true loop-closure event (the corridor
+    out-and-back never disconnects covisibility)."""
     cam = cam or CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5, bf=48.0)
-    world = make_room(seed=seed)
     if kind == "forward":
+        world = make_room(seed=seed, **(room_kw or {}))
         poses = forward_trajectory(n_frames)
     elif kind == "lateral":
+        world = make_room(seed=seed, **(room_kw or {}))
         poses = lateral_trajectory(n_frames, step=0.035)
     elif kind == "orbit":
-        poses = orbit_trajectory(n_frames, radius=3.0, center_z=9.0)
+        # central box cluster (inside the orbit) occludes the far side, so
+        # opposite orbit positions see disjoint structure; the r=4 path
+        # keeps >= 2.3 m clearance from the cluster so optical flow stays
+        # trackable at ~2 deg/frame
+        kw = dict(
+            width=12.0, length=18.0, n_boxes=8,
+            box_region=(-1.2, 1.2, 7.8, 10.2),
+        )
+        kw.update(room_kw or {})
+        world = make_room(seed=seed, **kw)
+        poses = orbit_trajectory(n_frames, radius=4.0, center_z=9.0)
     elif kind == "outback":
+        world = make_room(seed=seed, **(room_kw or {}))
         poses = outback_trajectory(n_frames)
     else:
         raise ValueError(kind)

@@ -198,6 +198,14 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
     The per-level loop is a Python loop over static shapes — XLA sees one
     fused graph (one compilation per camera geometry).
     """
+    if orb.normalize_exposure:
+        # Gain normalization: FAST compares absolute intensity differences
+        # against a fixed threshold, so camera gain/exposure drift makes
+        # borderline corners flicker between frames and destabilizes
+        # tracking. Rescaling to a fixed mean makes detection
+        # gain-invariant (BRIEF already is). One reduction — free on TPU.
+        mean = jnp.mean(image)
+        image = image * (120.0 / jnp.maximum(mean, 1.0))
     levels = pyramid.build_pyramid(image, orb)
     budgets = pyramid.feature_budgets(orb)
     scales = pyramid.level_scales(orb)

@@ -124,11 +124,20 @@ def track_step(
     res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K)
     ok_ref = res_ref.num_inliers >= p.min_track
 
-    # both branches are computed; take the better-supported one. (The
-    # motion-model associations are radius-censored around the prediction,
-    # so when the reference-KF match finds more inliers it is the safer
-    # anchor — this breaks the prediction-error feedback loop.)
-    use_mm = ok_mm & (~ok_ref | (res_mm.num_inliers >= res_ref.num_inliers))
+    # Both branches are computed in one program; PREFER the reference-KF
+    # anchor whenever it is healthy. The motion-model associations are
+    # radius-censored around the velocity prediction, so they can be
+    # wrong-but-self-consistent: once the prediction drifts, the censored
+    # set holds the optimum near the prediction and the error compounds
+    # ~2x per frame (measured on the textured-room benchmark; ATE 10-17x
+    # worse than ref-anchored tracking). The reference prefers the motion
+    # model because BoW search is the expensive path on CPU
+    # (src/Tracking.cc:313-340); on TPU the dense gated brute match is
+    # nearly free, so anchoring every frame to the keyframe graph is the
+    # better operating point. Motion model remains the fallback when the
+    # reference-KF match is weak (fast motion away from the keyframe).
+    use_ref = ok_ref & (res_ref.num_inliers >= 15)
+    use_mm = ok_mm & ~use_ref
     Tcw = jnp.where(use_mm, res_mm.Tcw, res_ref.Tcw)
     bind = jnp.where(use_mm, jnp.where(res_mm.inliers, bind_mm, -1),
                      jnp.where(res_ref.inliers, bind_ref, -1))
@@ -156,8 +165,13 @@ def track_step(
     acc1 = n1 >= p.min_track
     T1s = jnp.where(acc1, T1, Tcw)
     b1s = jnp.where(acc1, b1, bind)
-    T2, b2, n2, vis2 = local_pass(T1s, jnp.full_like(bind, -1), jnp.float32(0.6))
-    acc2 = n2 >= p.min_track
+    # second pass SEEDED with the first pass's inlier bindings: it only adds
+    # matches for still-unbound features at the refined pose (the reference
+    # runs a single TrackLocalMap search; a from-scratch re-association at a
+    # smaller radius could return FEWER matches and was being accepted
+    # whenever it cleared min_track, discarding a better first pass)
+    T2, b2, n2, vis2 = local_pass(T1s, b1s, jnp.float32(0.6))
+    acc2 = (n2 >= n1) & (n2 >= p.min_track)
     Tcw_f = jnp.where(acc2, T2, T1s)
     bind_f = jnp.where(acc2, b2, b1s)
     n_inl = jnp.where(acc2, n2, jnp.where(acc1, n1, jnp.int32(0)))
@@ -431,6 +445,26 @@ def keyframe_full_step(
             max_local=max_local, max_fixed=max_fixed,
             max_points=max_points, obs_slots=obs_slots,
             iters1=iters1, iters2=iters2,
+        )
+        # Re-anchor this keyframe's single-observer depth-seeded points to
+        # the POST-BA pose. They were backprojected at the tracked (pre-BA)
+        # pose; BA moves the keyframe but cannot constrain 1-observation
+        # points, leaving a dense fresh cloud offset by the BA correction —
+        # the next frames then track against the stale cloud and the pose
+        # error is amplified at every keyframe insertion.
+        pid = state.kf_point_idx[kf_id]
+        pidc = jnp.clip(pid, 0, state.capacity_mp - 1)
+        single = (
+            (pid >= 0)
+            & (jnp.sum(state.mp_obs_kf[pidc] >= 0, axis=1) == 1)
+            & (state.mp_first_kf[pidc] == kf_id)
+            & (frame.depth > 0)
+        )
+        pc = cam_geo.backproject(frame.xy, frame.depth, K)
+        pw = se3.apply(se3.inverse(state.kf_Tcw[kf_id]), pc)
+        pid_w = jnp.where(single, pid, state.capacity_mp)
+        state = state._replace(
+            mp_pos=state.mp_pos.at[pid_w].set(pw, mode="drop")
         )
     # return the (possibly BA-adjusted) anchors so the host needs no extra
     # gather dispatches to refresh the tracker

@@ -333,7 +333,7 @@ def fuse_points_into_kf(
     )
     ratio = state.mp_max_dist[pid] / jnp.maximum(dist, 1e-9)
     pred_oct = jnp.clip(
-        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / float(np.log(1.2))).astype(jnp.int32),
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])).astype(jnp.int32),
         0, num_levels - 1,
     )
     radius = 3.0 * scale_factors[pred_oct]

@@ -63,7 +63,20 @@ class System:
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
     def track_rgbd(self, image, depth, timestamp: float = 0.0) -> np.ndarray:
-        if self.tracker.state == TrackState.OK:
+        t = self.tracker
+        if (
+            self.localization_only
+            and t.last_frame is not None
+            and (t.mb_vo or t.state == TrackState.LOST)
+        ):
+            # mbVO dual-hypothesis mode (reference src/Tracking.cc:365-412)
+            t.map = self.map
+            frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
+            reloc_db = self.loop_closer.db if self.loop_closer is not None else None
+            res = t.localization_vo_step(frame, reloc_db)
+            self.results.append(res)
+            return res.Tcw
+        if t.state == TrackState.OK:
             return self._track_rgbd_turbo(image, depth, timestamp)
         frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
         return self._track(frame)
@@ -124,12 +137,29 @@ class System:
         n_inl = int(n_inl)
         is_kf = bool(is_kf)
         if not ok:
+            if self.localization_only and bool(res.track.ok):
+                # map coverage fell below the accept gate but coarse
+                # tracking still works: switch to mbVO instead of LOST
+                # (reference src/Tracking.cc:365-380)
+                t.mb_vo = True
+                t.state = TrackState.OK
+                t.velocity = res.track.Tcw @ se3.inverse(t.last_Tcw)
+                t.last_Tcw = res.track.Tcw
+                t.last_point_idx = res.track.point_idx
+                t.last_frame = frame
+                t.last_inliers = n_inl
+                t._log_pose(frame, True, Tcw_np)
+                tr = TrackResult(Tcw_np, t.state, n_inl, False)
+                self.results.append(tr)
+                return tr.Tcw
             t.state = TrackState.LOST
             t.velocity = None
             t._log_pose(frame, False)
             tr = TrackResult(Tcw_np, t.state, n_inl, False)
             self.results.append(tr)
-            if t.n_keyframes <= 5:
+            # auto-reset only while BUILDING a young map (reference
+            # src/Tracking.cc:502-510); never wipe a frozen/loaded map
+            if t.n_keyframes <= 5 and not self.localization_only:
                 self.reset()
             return tr.Tcw
 
@@ -200,8 +230,13 @@ class System:
         self._handle_kf_request()
         self.results.append(res)
         # auto-reset when lost right after initialization (reference
-        # src/Tracking.cc:502-510: lost with <= 5 keyframes -> full reset)
-        if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
+        # src/Tracking.cc:502-510: lost with <= 5 keyframes -> full reset);
+        # never wipe a frozen/loaded map in localization mode
+        if (
+            res.state == TrackState.LOST
+            and self.tracker.n_keyframes <= 5
+            and not self.localization_only
+        ):
             self.reset()
         return res.Tcw
 

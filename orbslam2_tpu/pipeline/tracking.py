@@ -217,8 +217,10 @@ def search_local_points(
 
     # predicted octave from distance (reference MapPoint::PredictScale)
     ratio = state.mp_max_dist[local_points] / jnp.maximum(dist, 1e-9)
+    # log(scale_factor) from the runtime pyramid, not a hardcoded 1.2
+    log_scale = jnp.log(scale_factors[1])
     pred_octave = jnp.clip(
-        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / LOG_SCALE).astype(jnp.int32),
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32),
         0,
         num_levels - 1,
     )
@@ -300,6 +302,9 @@ class Tracker:
         self.n_keyframes = 0
         self._params = None
         self._ref_pose_np = np.eye(4)
+        # localization-only visual-odometry fallback engaged (reference
+        # mbVO, src/Tracking.cc:142,365-412)
+        self.mb_vo = False
         # set when the policy requests a keyframe; consumed by System
         self.kf_request = None
         self.new_keyframe_ids: list[int] = []
@@ -452,6 +457,72 @@ class Tracker:
         self.n_keyframes = 2
         self._ref_pose_np = np.asarray(T21)
         return True
+
+    # -- localization-only dual hypothesis (reference mbVO) ----------------
+
+    def localization_vo_step(self, frame: FrameData, reloc_db) -> "TrackResult":
+        """Dual-hypothesis localization-mode tracking (reference
+        src/Tracking.cc:365-412): when the frozen map has fallen out of
+        view, keep the camera pose flowing by pure frame-to-frame visual
+        odometry against points backprojected from the LAST frame's depth
+        (the reference's temporal 'visual odometry' points, UpdateLastFrame
+        src/Tracking.cc:855-922), while attempting relocalization against
+        the map every frame. Relocalization wins as soon as it succeeds."""
+        from orbslam2_tpu.ops import match as match_mod
+        from orbslam2_tpu.solvers import pose_opt as po
+
+        # hypothesis A: relocalization against the frozen map
+        if self.relocalize(frame, reloc_db):
+            self.mb_vo = False
+            self.last_frame = frame
+            Tcw_np = np.asarray(self.last_Tcw)
+            self._log_pose(frame, True, Tcw_np)
+            self.last_inliers = max(self.last_inliers, 50)
+            return TrackResult(Tcw_np, self.state, self.last_inliers, False)
+
+        # hypothesis B: frame-to-frame VO on last-frame depth
+        self.mb_vo = True
+        velocity = self.velocity if self.velocity is not None else jnp.eye(4)
+        Tcw_pred = velocity @ self.last_Tcw
+        lf = self.last_frame
+        pc = cam_geo.backproject(lf.xy, lf.depth, self.K)
+        pw = se3.apply(se3.inverse(self.last_Tcw), pc)
+        has = lf.valid & (lf.depth > 0)
+        pc_pred = se3.apply(Tcw_pred, pw)
+        uv_pred = cam_geo.project(pc_pred, self.K)
+        radius = 14.0 * self.scale_factors[
+            jnp.clip(lf.octave, 0, self.scale_factors.shape[0] - 1)
+        ]
+        res = match_mod.search_frame_to_frame(
+            lf.desc, uv_pred, lf.octave, has & (pc_pred[:, 2] > 0.1), lf.angle,
+            frame.desc, frame.xy, frame.octave, frame.valid, frame.angle,
+            radius, max_dist=self.cfg.tracking.match_max_dist,
+        )
+        assigned = res.assigned
+        S = assigned.shape[0]
+        ac = jnp.clip(assigned, 0, S - 1)
+        obs = po.PoseObservations(
+            pw=pw[ac],
+            uv=frame.xy,
+            ur=frame.ur,
+            inv_sigma2=self.inv_sigma2[
+                jnp.clip(frame.octave, 0, self.inv_sigma2.shape[0] - 1)
+            ],
+            mask=(assigned >= 0) & frame.valid,
+        )
+        r = po.pose_optimize(Tcw_pred, obs, self.K)
+        n_inl = int(r.num_inliers)
+        ok = n_inl >= self.cfg.tracking.min_inliers_track
+        Tcw = r.Tcw if ok else Tcw_pred
+        self.velocity = Tcw @ se3.inverse(self.last_Tcw)
+        self.last_Tcw = Tcw
+        self.last_frame = frame
+        self.last_point_idx = jnp.full((S,), -1, jnp.int32)
+        self.last_inliers = n_inl
+        self.state = TrackState.OK if ok else TrackState.LOST
+        Tcw_np = np.asarray(Tcw)
+        self._log_pose(frame, ok, Tcw_np)
+        return TrackResult(Tcw_np, self.state, n_inl, False)
 
     # -- relocalization ----------------------------------------------------
 

@@ -233,15 +233,23 @@ def add_points(
     max_dist: jnp.ndarray,    # [N]
     ur: jnp.ndarray,          # [N] right coords of the seeding feature
 ) -> tuple[MapState, jnp.ndarray]:
-    """Batch-allocate new points at slots num_mp..; bind them to ref_kf's
-    features and seed their observation tables.
+    """Batch-allocate new points into FREE slots (invalid or never used);
+    bind them to ref_kf's features and seed their observation tables.
+
+    Slots of culled points are reused, so long sessions do not exhaust the
+    pool the way round 1's monotonic watermark did (point creation silently
+    stopped once `num_mp` hit capacity and tracking starved). Stale ids in
+    host-side lists are safe: culled ids are removed from the probation
+    window in the same keyframe step that frees them, and per-frame
+    bindings are re-validated against mp_valid every frame.
 
     Returns (state, point_ids [N] with -1 where invalid/overflow).
     """
     N = positions.shape[0]
     P = state.capacity_mp
-    offsets = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    pid = state.num_mp + offsets
+    free = jnp.nonzero(~state.mp_valid, size=N, fill_value=P)[0]
+    slot_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pid = free[jnp.clip(slot_rank, 0, N - 1)]
     ok = valid & (pid < P)
     pid_w = jnp.where(ok, pid, P)  # OOB drop
 

@@ -62,7 +62,10 @@ def _query(vectors, present, vec, exclude_mask, min_score, covis, max_candidates
     scores = bow.l1_score(vec, vectors)  # [K]
     ok = present & ~exclude_mask & (scores >= min_score)
     scores_ok = jnp.where(ok, scores, 0.0)
-    # group score: candidate + its covisible neighbours that also scored
+    # group score: candidate + ITS covisible neighbours that also scored
+    # (per-candidate accumulation needs the full [K, K] covisibility
+    # matrix; reference accScore over the candidate's top-10 covisibles,
+    # src/KeyFrameDatabase.cc:170-196)
     covis_pos = (covis > 0).astype(jnp.float32)
     acc = scores_ok + covis_pos @ scores_ok
     acc = jnp.where(ok, acc, -1.0)

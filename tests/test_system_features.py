@@ -85,3 +85,83 @@ class TestSystemFeatures:
         img, depth = seq.frame(12)
         slam.track_rgbd(img, depth, timestamp=99.0)
         assert slam.get_tracking_state() == TrackState.OK
+
+
+@pytest.mark.slow
+def test_localization_mbvo_blackout_and_recovery():
+    """mbVO dual hypothesis (reference src/Tracking.cc:365-412): in
+    localization-only mode, rotating the camera away from the frozen map
+    must keep poses flowing via frame-to-frame visual odometry (no reset,
+    map untouched), and returning to a mapped view must relocalize."""
+    import dataclasses
+
+    from orbslam2_tpu.geometry import se3 as se3_mod
+
+    cfg = small_cfg()
+    seq = synthetic.textured_sequence(n_frames=22, kind="forward", cam=cfg.camera)
+    slam = System(cfg)
+    for i in range(22):
+        img, depth = seq.frame(i)
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    assert slam.get_tracking_state() == TrackState.OK
+    n_kf = slam.num_keyframes()
+    slam.activate_localization_mode()
+
+    # rotate 110 degrees away from every mapped view (2.5 deg/frame) — far
+    # enough that the never-imaged back wall fills the view — hold, and
+    # rotate back; poses generated against the same textured room
+    base = seq.poses[21]
+    yaws = list(np.arange(2.5, 111, 2.5)) + [110.0] * 4 + list(np.arange(107.5, -0.1, -2.5))
+    poses = []
+    for yaw in yaws:
+        a = np.radians(yaw)
+        dR = np.asarray(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+        T = np.eye(4)
+        T[:3, :3] = dR
+        poses.append(T @ base)
+    rot_seq = dataclasses.replace(seq, poses=np.stack(poses))
+
+    vo_frames = 0
+    for j in range(len(rot_seq)):
+        img, depth = rot_seq.frame(j)
+        slam.track_rgbd(img, depth, timestamp=(22 + j) / 30.0)
+        if slam.tracker.mb_vo:
+            vo_frames += 1
+    assert vo_frames > 0, "mbVO never engaged"
+    assert slam.num_keyframes() == n_kf, "map must stay frozen"
+    # after returning to the mapped view, the pose must be re-anchored
+    # close to ground truth (relocalization hypothesis won)
+    T = slam.results[-1].Tcw
+    e = T @ np.linalg.inv(rot_seq.poses[-1])
+    assert np.linalg.norm(e[:3, 3]) < 0.15, np.linalg.norm(e[:3, 3])
+    assert not slam.tracker.mb_vo
+
+
+@pytest.mark.slow
+def test_nondefault_pyramid_tracks():
+    """num_levels=6, scale_factor=1.25 must work end to end (round-1 review
+    found hardcoded 1.2**octave constants that silently broke this)."""
+    import dataclasses
+
+    from orbslam2_tpu.config import OrbConfig
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        orb=OrbConfig(
+            num_features=600, feature_slots=640, candidates_per_level=2048,
+            num_levels=6, scale_factor=1.25,
+        ),
+    )
+    seq = synthetic.textured_sequence(n_frames=10, kind="forward", cam=cfg.camera)
+    slam = System(cfg)
+    for i in range(10):
+        img, depth = seq.frame(i)
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    ts, poses, tracked = slam.frame_poses()
+    assert tracked.all()
+    from orbslam2_tpu.utils.evaluation import ate_rmse
+
+    assert ate_rmse(poses, seq.poses, align=True) < 0.03
