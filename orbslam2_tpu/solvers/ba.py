@@ -125,6 +125,11 @@ def _robust_cost(chi2, active, use_kernel, is_stereo):
     return jnp.sum(jnp.where(active, rho, 0.0))
 
 
+# chunk the Schur assembly once the one-hot intermediates would exceed this
+# many elements (tests shrink it to force the chunked path on small problems)
+_CHUNK_ELEMS = 1 << 26
+
+
 def _build_and_solve(r, Jc, Jp, w, prob: BAProblem, lam):
     """One damped GN step via Schur complement. Returns (dx_cam [C,6], dp [P,3]).
 
@@ -159,26 +164,71 @@ def _build_and_solve(r, Jc, Jp, w, prob: BAProblem, lam):
     Wcp = jnp.einsum("poij,po,poik->pojk", Jc, w, Jp)      # [P,O,6,3] = Hcp block
 
     cam_idx = prob.obs_cam  # [P,O]
-    E = jax.nn.one_hot(cam_idx, C, dtype=r.dtype)          # [P,O,C]
-
-    # H_cc block diagonal: Σ_po E[p,o,c] Hcc_blk[p,o] -> [C,6,6]
-    N = P * O
-    Ef = E.reshape(N, C)
-    S_diag = jnp.einsum(
-        "nc,nx->cx", Ef, Hcc_blk.reshape(N, 36), precision=hi
-    ).reshape(C, 6, 6)
-    S = jnp.zeros((C, C, 6, 6)).at[jnp.arange(C), jnp.arange(C)].add(S_diag)
-
-    # Schur cross terms: S[c,d] -= Σ_p (Σ_o E Y)(Σ_q E W)^T, grouped per point
     Y = jnp.einsum("poik,pkl->poil", Wcp, Hpp_inv)         # [P,O,6,3]
-    GY = jnp.einsum("poc,poil->pcil", E, Y, precision=hi)  # [P,C,6,3]
-    GW = jnp.einsum("poc,poil->pcil", E, Wcp, precision=hi)
-    cross = jnp.einsum("pcil,pdjl->cdij", GY, GW, precision=hi)
-    S = S - cross
+    g_red = jnp.einsum("poil,pl->poi", Y, gp)              # [P,O,6]
 
-    g_c = jnp.einsum("nc,nx->cx", Ef, gc_blk.reshape(N, 6), precision=hi)
-    g_red = jnp.einsum("poil,pl->poi", Y, gp)
-    g_S = g_c - jnp.einsum("nc,nx->cx", Ef, g_red.reshape(N, 6), precision=hi)
+    # The one-hot contractions materialize [P,O,C] and [P,C,6,3]; at
+    # KITTI-length trajectories (C≈1024, P≈1e5) that is gigabytes. Chunk
+    # the point axis with a lax.scan once the product crosses ~64M
+    # elements — the accumulated [C,C,6,6] system is the only large
+    # buffer kept live (same math, bounded peak memory).
+    if P * O * C > _CHUNK_ELEMS:
+        B = max(256, _CHUNK_ELEMS // max(O * C, 1))
+        n_chunks = -(-P // B)
+        pad = n_chunks * B - P
+
+        def padp(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)).reshape(
+                (n_chunks, B) + x.shape[1:]
+            )
+
+        # padded rows have all-zero Hcc/Y/W/g blocks (jnp.pad), so their
+        # one-hot contributions vanish
+        ci_c = padp(cam_idx)
+        Hcc_c = padp(Hcc_blk)
+        gc_c = padp(gc_blk)
+        Y_c = padp(Y)
+        W_c = padp(Wcp)
+        gr_c = padp(g_red)
+
+        def chunk_step(carry, xs):
+            S_acc, g_acc = carry
+            ci, Hcc_b, gc_b, Y_b, W_b, gr_b = xs
+            E_b = jax.nn.one_hot(ci, C, dtype=r.dtype)          # [B,O,C]
+            Nf = E_b.shape[0] * O
+            Ef_b = E_b.reshape(Nf, C)
+            S_diag = jnp.einsum(
+                "nc,nx->cx", Ef_b, Hcc_b.reshape(Nf, 36), precision=hi
+            ).reshape(C, 6, 6)
+            GY = jnp.einsum("poc,poil->pcil", E_b, Y_b, precision=hi)
+            GW = jnp.einsum("poc,poil->pcil", E_b, W_b, precision=hi)
+            cross = jnp.einsum("pcil,pdjl->cdij", GY, GW, precision=hi)
+            g_c = jnp.einsum("nc,nx->cx", Ef_b, gc_b.reshape(Nf, 6), precision=hi)
+            g_r = jnp.einsum("nc,nx->cx", Ef_b, gr_b.reshape(Nf, 6), precision=hi)
+            S_acc = S_acc.at[jnp.arange(C), jnp.arange(C)].add(S_diag)
+            S_acc = S_acc - cross
+            g_acc = g_acc + g_c - g_r
+            return (S_acc, g_acc), None
+
+        (S, g_S), _ = jax.lax.scan(
+            chunk_step,
+            (jnp.zeros((C, C, 6, 6), r.dtype), jnp.zeros((C, 6), r.dtype)),
+            (ci_c, Hcc_c, gc_c, Y_c, W_c, gr_c),
+        )
+    else:
+        E = jax.nn.one_hot(cam_idx, C, dtype=r.dtype)          # [P,O,C]
+        N = P * O
+        Ef = E.reshape(N, C)
+        S_diag = jnp.einsum(
+            "nc,nx->cx", Ef, Hcc_blk.reshape(N, 36), precision=hi
+        ).reshape(C, 6, 6)
+        S = jnp.zeros((C, C, 6, 6)).at[jnp.arange(C), jnp.arange(C)].add(S_diag)
+        GY = jnp.einsum("poc,poil->pcil", E, Y, precision=hi)  # [P,C,6,3]
+        GW = jnp.einsum("poc,poil->pcil", E, Wcp, precision=hi)
+        cross = jnp.einsum("pcil,pdjl->cdij", GY, GW, precision=hi)
+        S = S - cross
+        g_c = jnp.einsum("nc,nx->cx", Ef, gc_blk.reshape(N, 6), precision=hi)
+        g_S = g_c - jnp.einsum("nc,nx->cx", Ef, g_red.reshape(N, 6), precision=hi)
 
     # damping + fixed-camera masking on the dense system
     free = prob.cam_free

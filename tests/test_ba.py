@@ -123,3 +123,49 @@ class TestBundleAdjust:
         res = ba.bundle_adjust(prob2, K, iters=8)
         # valid part still converges
         assert cam_errors(res.cam_Tcw, cams_true).max() < 5e-3
+
+
+def test_chunked_schur_assembly_matches_direct(monkeypatch):
+    """The scan-chunked reduced-camera-system assembly (used for
+    KITTI-length C, where [P,O,C] one-hots would be gigabytes) must
+    reproduce the direct path bit-for-bit-ish."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.config import CameraConfig
+    from orbslam2_tpu.geometry import se3
+    from orbslam2_tpu.geometry.camera import Intrinsics
+    from orbslam2_tpu.solvers import ba
+
+    K = Intrinsics.from_config(CameraConfig(fx=480.0, fy=480.0, bf=240.0))
+    rng = np.random.default_rng(3)
+    C, Pn, O = 8, 700, 4
+    cams = np.stack([
+        np.asarray(se3.exp_se3(jnp.asarray([0.3 * i, 0, 0, 0, 0.02 * i, 0], jnp.float32)))
+        for i in range(C)
+    ]).astype(np.float32)
+    pts = np.c_[rng.uniform(-3, 3, Pn), rng.uniform(-2, 2, Pn), rng.uniform(4, 10, Pn)].astype(np.float32)
+    obs_cam = np.stack([rng.permutation(C)[:O] for _ in range(Pn)]).astype(np.int32)
+    Ts = cams[obs_cam]
+    pc = np.einsum("poij,pj->poi", Ts[..., :3, :3], pts) + Ts[..., :3, 3]
+    uv = np.stack([480.0 * pc[..., 0] / pc[..., 2] + 319.5,
+                   480.0 * pc[..., 1] / pc[..., 2] + 239.5], -1).astype(np.float32)
+    prob = ba.BAProblem(
+        cam_Tcw=jnp.asarray(cams), cam_free=jnp.asarray(np.arange(C) >= 1),
+        points=jnp.asarray(pts + rng.normal(0, 0.03, pts.shape).astype(np.float32)),
+        point_valid=jnp.ones(Pn, bool), obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(uv + rng.normal(0, 0.2, uv.shape).astype(np.float32)),
+        obs_ur=jnp.full((Pn, O), -1.0, jnp.float32),
+        obs_inv_sigma2=jnp.ones((Pn, O)), obs_valid=jnp.ones((Pn, O), bool),
+    )
+    res_direct = ba.bundle_adjust(prob, K, iters=4, use_kernel=False)
+    monkeypatch.setattr(ba, "_CHUNK_ELEMS", 1024)  # force chunking
+    res_chunk = ba.bundle_adjust.__wrapped__(prob, K, iters=4, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(res_direct.cam_Tcw), np.asarray(res_chunk.cam_Tcw),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_direct.points), np.asarray(res_chunk.points),
+        atol=1e-3, rtol=1e-3,
+    )
