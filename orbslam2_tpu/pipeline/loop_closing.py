@@ -295,6 +295,53 @@ def build_essential_edges(
     return ei, ej, meas, evalid, n_total
 
 
+@partial(jax.jit, static_argnames=("covis_threshold", "max_candidates"))
+def _detect_candidates(
+    state: ms.MapState,
+    vectors,
+    present,
+    kf_id,
+    covis_threshold: int = 15,
+    max_candidates: int = 8,
+):
+    """Device side of DetectLoop: min-score from covisibles, exclusion of
+    covisibles/recents, DB query, and the candidates' covisibility rows
+    (for the host-side consistency grouping) — one program, one pull."""
+    from orbslam2_tpu.vocab.database import _query
+
+    Kcap = state.capacity_kf
+    covis_row = state.covis[kf_id]
+    covisible = (covis_row >= covis_threshold) & state.kf_valid
+    vec = vectors[kf_id]
+    scores = bow.l1_score(vec, vectors)
+    min_score = jnp.where(
+        jnp.any(covisible),
+        jnp.min(jnp.where(covisible, scores, jnp.inf)),
+        0.05,
+    )
+    idx = jnp.arange(Kcap)
+    exclude = covisible | (idx == kf_id) | (idx > kf_id - 8)
+    cand, mask, _ = _query(
+        vectors, present, vec, exclude, jnp.maximum(min_score, 0.01),
+        state.covis, max_candidates,
+    )
+    cand_covis = state.covis[cand] > 0
+    return cand, mask, cand_covis
+
+
+@jax.jit
+def _bow_rows(kf_desc, kf_feat_valid, present, codebook):
+    """Recompute the [K, V] BoW matrix for every present keyframe in one
+    program. lax.map (not vmap) keeps the peak intermediate at one
+    [S, V] distance matrix instead of [K, S, V]."""
+
+    def row(args):
+        d, v, p = args
+        return jnp.where(p, bow.bow_vector(d, v, codebook), 0.0)
+
+    return jax.lax.map(row, (kf_desc, kf_feat_valid, present))
+
+
 @jax.jit
 def rebuild_covisibility(state: ms.MapState) -> ms.MapState:
     """Recompute the full covisibility matrix from the (reconciled) per-
@@ -356,8 +403,8 @@ class LoopCloser:
         self.edge_truncations = 0   # essential-graph edges dropped by cap
         self.obs_truncations = 0    # observations dropped by obs_slots
         self.last_loop_kf = -1_000
-        # consistency groups: list of (set_of_kf_ids, count)
-        self._consistent_groups: list[tuple[set, int]] = []
+        # consistency groups: list of (set_of_kf_ids, count, misses)
+        self._consistent_groups: list[tuple[set, int, int]] = []
         self.loops_closed = 0
 
     # ------------------------------------------------------------------
@@ -366,15 +413,43 @@ class LoopCloser:
             np.asarray(state.kf_desc[kf_id]), np.asarray(state.kf_feat_valid[kf_id])
         )
         self._kf_count += 1
-        # retrain on a sparse schedule: the vocabulary grows with the
-        # visited appearance distribution (reference ships a fixed offline
-        # ~1M-leaf vocabulary, include/ORBVocabulary.h:31 — unavailable
-        # here, so the session trains its own). Sparse thresholds + coarse
-        # size buckets bound the number of distinct XLA compilations —
-        # on a remote-compile TPU each fresh program costs seconds.
-        if self._kf_count in (2, 8, 32, 128):
+        # retrain at keyframe-count doublings: the vocabulary grows with
+        # the visited appearance distribution (reference ships a fixed
+        # offline ~1M-leaf vocabulary, include/ORBVocabulary.h:31 —
+        # unavailable here, so the session trains its own). Doublings keep
+        # the codebook RECENT: a revisit after a long excursion must be
+        # scored by a vocabulary that has seen the whole excursion (a
+        # sparse 2/8/32/128 schedule measurably lost loop recall on a
+        # 77-keyframe orbit: the last retrain at 32 predated half the
+        # trajectory). Coarse power-of-4 SIZE buckets + warmup_compiles
+        # keep the number of distinct XLA programs bounded regardless.
+        if self._kf_count >= 2 and (self._kf_count & (self._kf_count - 1)) == 0:
             self._retrain_vocabulary(state)
         self.db.add(kf_id, state.kf_desc[kf_id], state.kf_feat_valid[kf_id])
+
+    def warmup_compiles(self, feature_slots: int):
+        """Precompile every vocabulary-size bucket's train/transform/query
+        programs with dummy data. Retrains then hit cached executables in
+        the steady state — on a remote-compile TPU a fresh program costs
+        seconds and would land in the middle of tracking."""
+        cap = self.reservoir.cap
+        dummy = jnp.zeros((cap, 8), jnp.uint32)
+        dvalid = jnp.zeros((cap,), bool).at[:2048].set(True)
+        fdesc = jnp.zeros((feature_slots, 8), jnp.uint32)
+        fvalid = jnp.ones((feature_slots,), bool)
+        key = jax.random.PRNGKey(0)
+        v = 256
+        while True:
+            cb = bow.train_codebook(
+                dummy, dvalid, key, vocab_size=v, iters=self.cfg.vocab.train_iters
+            )
+            db = KeyFrameDatabase(cb, self.cfg.map.max_keyframes)
+            vec = db.add(0, fdesc, fvalid)
+            db.query(vec, jnp.zeros(self.cfg.map.max_keyframes, bool), 0.0,
+                     jnp.zeros((self.cfg.map.max_keyframes,) * 2, jnp.int32))
+            if v * 4 > self.cfg.vocab.vocab_size:
+                break
+            v *= 4
 
     def _retrain_vocabulary(self, state: ms.MapState):
         """K-medians retrain on the reservoir; rebuild every present DB row
@@ -393,51 +468,66 @@ class LoopCloser:
             jnp.asarray(buf), jnp.asarray(valid), key,
             vocab_size=v, iters=self.cfg.vocab.train_iters,
         )
-        present = np.nonzero(np.asarray(self.db.present))[0]
+        present = self.db.present
         self.db = KeyFrameDatabase(self.codebook, self.cfg.map.max_keyframes)
-        for k in present:
-            k = int(k)
-            self.db.add(k, state.kf_desc[k], state.kf_feat_valid[k])
+        # rebuild every present row in ONE program (a per-keyframe add()
+        # loop costs one ~40 ms relay dispatch per keyframe)
+        self.db.vectors = _bow_rows(
+            state.kf_desc, state.kf_feat_valid, present, self.codebook
+        )
+        self.db.present = present
 
     # ------------------------------------------------------------------
     def detect(self, state: ms.MapState, kf_id: int) -> list[int]:
-        """DetectLoop (reference src/LoopClosing.cc:105-232)."""
+        """DetectLoop (reference src/LoopClosing.cc:105-232).
+
+        The candidate scoring/selection runs as ONE device program and the
+        host pulls ONE tuple (candidates + their covisibility rows for the
+        consistency grouping) — round 1 made ~5 separate device->host
+        round trips per keyframe, ~50 ms each through the TPU relay."""
         if kf_id < self.last_loop_kf + 10 or kf_id < 10:
             return []
-        covis_row = np.asarray(state.covis[kf_id])
-        valid = np.asarray(state.kf_valid)
-        covisible = (covis_row >= self.cfg.map.covis_threshold) & valid
-        # minScore among covisibles (reference :128-142)
-        vec = self.db.vectors[kf_id]
-        if covisible.any():
-            scores = np.asarray(bow.l1_score(vec, self.db.vectors))
-            min_score = float(scores[covisible].min())
-        else:
-            min_score = 0.05
-        exclude = jnp.asarray(covisible) | (jnp.arange(len(valid)) == kf_id)
-        # also exclude recent keyframes (temporal neighbors)
-        recent = jnp.arange(len(valid)) > kf_id - 8
-        cand, mask, _ = self.db.query(
-            vec, exclude | recent, max(min_score, 0.01), state.covis
+        cand_d, mask_d, cand_covis_d = _detect_candidates(
+            state, self.db.vectors, self.db.present, jnp.int32(kf_id),
+            covis_threshold=self.cfg.map.covis_threshold,
+            max_candidates=int(self.cfg.vocab.max_candidates),
         )
-        cands = [int(c) for c, m in zip(np.asarray(cand), np.asarray(mask)) if m]
+        cand, mask, cand_covis = jax.device_get((cand_d, mask_d, cand_covis_d))
+        cands = [int(c) for c, m in zip(cand, mask) if m]
 
         # covisibility-consistency over consecutive keyframes (:156-232)
         th = self.cfg.vocab.covisibility_consistency_th
-        covis_np = np.asarray(state.covis)
-        new_groups: list[tuple[set, int]] = []
+        new_groups: list[tuple[set, int, int]] = []
         accepted: list[int] = []
-        for c in cands:
-            group = {c} | set(np.nonzero(covis_np[c] > 0)[0].tolist())
+        matched_prev = [False] * len(self._consistent_groups)
+        for row, c in zip(cand_covis, cand):
+            c = int(c)
+            if c not in cands:
+                continue
+            group = {c} | set(np.nonzero(row)[0].tolist())
             count = 0
-            for prev_group, prev_count in self._consistent_groups:
+            for gi, (prev_group, prev_count, _) in enumerate(self._consistent_groups):
                 if group & prev_group:
                     count = max(count, prev_count + 1)
-            new_groups.append((group, count))
+                    matched_prev[gi] = True
+            new_groups.append((group, count, 0))
             if count >= th:
                 accepted.append(c)
+        # one-miss grace (deviation from the reference, which resets a
+        # group the moment it skips a keyframe): the session-trained
+        # vocabulary is far weaker than the reference's offline ~1M-leaf
+        # one, so a true revisit candidate can drop below the min-score /
+        # 0.75-of-best gates for a single keyframe mid-chain. Retaining
+        # the group for one miss keeps the chain alive; the geometric
+        # gates (Sim3 RANSAC + joint opt + >=40 guided matches) still
+        # reject every false candidate downstream.
+        for (pg, pc, pm), m in zip(self._consistent_groups, matched_prev):
+            if not m and pm < 1:
+                new_groups.append((pg, pc, pm + 1))
         self._consistent_groups = new_groups
-        return accepted
+        # bound geometric-verification work: candidates arrive ordered by
+        # accumulated BoW score; each attempt costs several dispatches
+        return accepted[:6]
 
     # ------------------------------------------------------------------
     def compute_sim3(self, state: ms.MapState, kf_id: int, cand: int, key):
