@@ -118,6 +118,13 @@ class TrackingConfig:
     # minimum frames between keyframes (reference mMinFrames = 0; raise to
     # damp insertion rate in the synchronous pipeline)
     kf_min_gap: int = 0
+    # pipelined tracking: 0 = resolve each frame's host pull immediately
+    # (exact reference-order semantics; the default for tests); 1 = defer
+    # the pull one frame so the ~40 ms relay round trip overlaps the next
+    # frame's device compute (throughput ~2x on remote-dispatch TPU;
+    # keyframe bookkeeping/loop closing run one frame late, like the
+    # reference's asynchronous LocalMapping/LoopClosing threads)
+    pipeline_depth: int = 0
     # Hamming gate for motion-model / local-map projection searches. The
     # reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) tuned to its
     # bit_pattern_31_; our regenerated BRIEF produces true-match distances

@@ -533,7 +533,14 @@ def track_frame_stereo(
 
 
 class FrameStepOut(NamedTuple):
-    """Host-visible results of the all-in-one frame program."""
+    """Host-visible results of the all-in-one frame program.
+
+    The `next_*` fields are the DEVICE-side selections of the tracker
+    anchors for the following frame (what the host branches in
+    System._track_turbo would compute after pulling is_kf/accept). They
+    let a pipelined caller dispatch frame N+1 using frame N's outputs
+    WITHOUT a host round trip in between — on a ~40 ms/dispatch relay
+    the deferred host pull overlaps with the next frame's compute."""
 
     track: TrackOut
     is_kf: jnp.ndarray          # bool
@@ -542,6 +549,12 @@ class FrameStepOut(NamedTuple):
     kf_point_idx: jnp.ndarray   # [S] post-BA bindings (or track bindings)
     new_pids: jnp.ndarray       # [n_neighbors*S] (-1 when no keyframe)
     window_keep: jnp.ndarray    # [W] bool
+    accept: jnp.ndarray         # bool: ok AND >= min_inliers_local
+    next_Tcw: jnp.ndarray       # [4,4] anchor pose for the next frame
+    next_point_idx: jnp.ndarray # [S] anchor bindings for the next frame
+    next_velocity: jnp.ndarray  # [4,4] motion model for the next frame
+    next_ref_kf: jnp.ndarray    # int32
+    next_frames_since_kf: jnp.ndarray  # int32
 
 
 @partial(
@@ -550,7 +563,7 @@ class FrameStepOut(NamedTuple):
         "orb_cfg", "max_local_kfs", "max_local_points", "num_levels",
         "has_distortion", "n_neighbors", "create_close_points",
         "max_local", "max_fixed", "max_points", "obs_slots", "iters1", "iters2",
-        "max_gap", "min_gap", "kf_ratio", "use_close_cond",
+        "max_gap", "min_gap", "kf_ratio", "use_close_cond", "sensor",
     ),
     donate_argnums=(0,),
 )
@@ -597,23 +610,60 @@ def frame_and_keyframe_step(
     min_gap: int = 0,
     kf_ratio: float = 0.75,
     use_close_cond: bool = True,
+    sensor: str = "rgbd",
 ):
     """The ENTIRE per-frame pipeline — frame build, tracking, on-device
     keyframe policy, and (conditionally, via lax.cond) keyframe insertion +
     mapping + probation culling + local BA — as ONE dispatch.
 
+    `sensor` selects frame construction: "rgbd" (image + depth map),
+    "stereo" (image = left, depth_map = right; the reference's two
+    transient extraction threads become one batched graph), or "mono"
+    (depth_map ignored). Tracking/keyframe logic is shared.
+
     On remote-dispatch TPU setups each call costs ~40 ms of latency before
     any compute; this program brings the steady state to one call plus one
     small device_get per frame. Returns (state, frame, FrameStepOut).
     """
-    state, frame, out = track_frame_rgbd.__wrapped__(
-        state, image, depth_map, frame_id,
-        last_xy, last_point_idx, last_octave, last_angle, last_desc,
-        last_Tcw, velocity, has_velocity, ref_kf, K, p, inv_depth_factor,
-        orb_cfg,
-        max_local_kfs=max_local_kfs, max_local_points=max_local_points,
-        num_levels=num_levels, has_distortion=has_distortion,
-    )
+    if sensor == "rgbd":
+        state, frame, out = track_frame_rgbd.__wrapped__(
+            state, image, depth_map, frame_id,
+            last_xy, last_point_idx, last_octave, last_angle, last_desc,
+            last_Tcw, velocity, has_velocity, ref_kf, K, p, inv_depth_factor,
+            orb_cfg,
+            max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+            num_levels=num_levels, has_distortion=has_distortion,
+        )
+    elif sensor == "stereo":
+        state, frame, out = track_frame_stereo.__wrapped__(
+            state, image, depth_map, frame_id,
+            last_xy, last_point_idx, last_octave, last_angle, last_desc,
+            last_Tcw, velocity, has_velocity, ref_kf, K, p, orb_cfg,
+            max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+            num_levels=num_levels, has_distortion=has_distortion,
+        )
+    else:  # mono
+        from orbslam2_tpu.ops import orb as orb_mod
+
+        feats = orb_mod.extract.__wrapped__(image, orb_cfg)
+        und = (
+            cam_geo.undistort_pixels(feats.xy, K) if has_distortion else feats.xy
+        )
+        S_ = feats.xy.shape[0]
+        frame = FrameData(
+            frame_id=frame_id, timestamp=0.0,
+            xy=und, xy_raw=feats.xy,
+            ur=jnp.full((S_,), -1.0, jnp.float32),
+            depth=jnp.full((S_,), -1.0, jnp.float32),
+            octave=feats.octave, angle=feats.angle,
+            desc=feats.desc, valid=feats.valid,
+        )
+        state, out = track_step.__wrapped__(
+            state, frame, last_xy, last_point_idx, last_octave, last_angle,
+            last_desc, last_Tcw, velocity, has_velocity, ref_kf, K, p,
+            max_local_kfs=max_local_kfs, max_local_points=max_local_points,
+            num_levels=num_levels,
+        )
 
     # ---- keyframe policy on device (reference src/Tracking.cc:1049-1139) --
     ratio = jnp.where(n_keyframes <= 2, 0.4, kf_ratio)
@@ -667,9 +717,21 @@ def frame_and_keyframe_step(
     state, kf_id, new_pids, keep, kf_Tcw, kf_bind = jax.lax.cond(
         need_kf, kf_branch, no_kf, state
     )
+    # device-side anchor selection for a pipelined caller (mirrors the host
+    # branches in System._track_turbo: keyframe -> post-BA pose/bindings,
+    # otherwise the tracked ones; accept mirrors the host LOST gate)
+    accept = out.ok & (out.n_inliers >= p.min_track_local)
     res = FrameStepOut(
         track=out, is_kf=need_kf, kf_id=kf_id, kf_Tcw=kf_Tcw,
         kf_point_idx=kf_bind, new_pids=new_pids, window_keep=keep,
+        accept=accept,
+        next_Tcw=jnp.where(need_kf, kf_Tcw, out.Tcw),
+        next_point_idx=jnp.where(need_kf, kf_bind, out.point_idx),
+        next_velocity=out.Tcw @ se3.inverse(last_Tcw),
+        next_ref_kf=jnp.where(need_kf, kf_id, ref_kf).astype(jnp.int32),
+        next_frames_since_kf=jnp.where(
+            need_kf, 0, frames_since_kf + 1
+        ).astype(jnp.int32),
     )
     return state, frame, res
 

@@ -25,6 +25,19 @@ from orbslam2_tpu.pipeline.tracking import Tracker, TrackResult, TrackState
 from orbslam2_tpu.slam_map import map_state as ms
 
 
+class _TurboRec:
+    """In-flight pipelined frame: device results + raw inputs (retained so
+    an invalidated dispatch can be reprocessed on the exact path)."""
+
+    __slots__ = ("res", "frame", "inputs", "prev_anchors")
+
+    def __init__(self, res, frame, inputs, prev_anchors):
+        self.res = res
+        self.frame = frame
+        self.inputs = inputs
+        self.prev_anchors = prev_anchors
+
+
 class System:
     """One SLAM session.
 
@@ -59,6 +72,14 @@ class System:
         # first keyframe's descriptors (no shipped DBoW2 file; SURVEY.md §2a)
         self.loop_closer = None
         self._loop_key = None
+        self._dummy_b = None
+        # pipelined tracking (cfg.tracking.pipeline_depth >= 1): the
+        # in-flight frame record whose host pull is deferred, plus the
+        # device-side anchor scalars (has_velocity / ref_kf /
+        # frames_since_kf) selected by the previous frame's program
+        self._pending = None
+        self._anchor = None
+        self._in_resolve = False
 
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
@@ -77,16 +98,67 @@ class System:
             self.results.append(res)
             return res.Tcw
         if t.state == TrackState.OK:
-            return self._track_rgbd_turbo(image, depth, timestamp)
+            return self._track_turbo("rgbd", image, depth, timestamp)
         frame = self.builder.rgbd(jnp.asarray(image), jnp.asarray(depth), timestamp)
         return self._track(frame)
 
-    def _track_rgbd_turbo(self, image, depth, timestamp: float) -> np.ndarray:
-        """Steady-state RGB-D frame: ONE device dispatch covering frame
-        build + tracking + on-device keyframe policy + (conditionally)
-        keyframe/mapping/local-BA, plus one small device_get."""
+    def _track_turbo(self, sensor: str, a, b, timestamp: float):
+        """Steady-state frame (any sensor): ONE device dispatch covering
+        frame build + tracking + on-device keyframe policy +
+        (conditionally) keyframe/mapping/local-BA, plus one small
+        device_get. `a`/`b` are (image, depth) for RGB-D, (left, right)
+        for stereo, (image, ignored) for monocular.
+
+        With cfg.tracking.pipeline_depth >= 1 the host pull of the
+        PREVIOUS frame's results is deferred until after this frame's
+        dispatch, so the ~40 ms relay round trip overlaps device compute
+        (the device-side `next_*` anchor selections in FrameStepOut make
+        the dispatch independent of the previous pull). Keyframe
+        bookkeeping and loop closing then run one frame late — like the
+        reference's asynchronous LocalMapping/LoopClosing threads."""
+        rec = self._turbo_dispatch(sensor, a, b, timestamp)
+        pipelined = (
+            self.cfg.tracking.pipeline_depth >= 1
+            and not self.localization_only
+            and self.tracker.n_keyframes > 5
+        )
+        if not pipelined:
+            if self._pending is not None:  # draining out of pipelined mode
+                prev, self._pending = self._pending, None
+                if self._turbo_resolve(prev):
+                    self._anchor = None
+                    return self._reprocess(rec)
+            self._turbo_resolve(rec)
+            return self.results[-1].Tcw
+        prev, self._pending = self._pending, rec
+        if prev is not None and self._turbo_resolve(prev):
+            # the in-flight frame was dispatched against anchors that an
+            # event (LOST / auto-reset / loop correction) just
+            # invalidated: drop its device result and reprocess the raw
+            # inputs on the exact path (the reference pays the same
+            # re-track when its asynchronous loop correction lands)
+            rec, self._pending = self._pending, None
+            self._anchor = None
+            return self._reprocess(rec)
+        # lazy device handle: converting to numpy synchronizes, so callers
+        # that ignore the per-frame pose never pay the round trip
+        return rec.res.track.Tcw
+
+    def _reprocess(self, rec):
+        sensor, a, b, timestamp = rec.inputs
+        if self.tracker.state == TrackState.OK:
+            return self._track_turbo(sensor, a, b, timestamp)
+        return self._track(self._build_frame(sensor, a, b, timestamp))
+
+    def _build_frame(self, sensor: str, a, b, timestamp: float) -> FrameData:
+        if sensor == "rgbd":
+            return self.builder.rgbd(jnp.asarray(a), jnp.asarray(b), timestamp)
+        if sensor == "stereo":
+            return self.builder.stereo(jnp.asarray(a), jnp.asarray(b), timestamp)
+        return self.builder.monocular(jnp.asarray(a), timestamp)
+
+    def _turbo_dispatch(self, sensor: str, a, b, timestamp: float):
         from orbslam2_tpu.pipeline import fused
-        from orbslam2_tpu.geometry import se3
 
         t = self.tracker
         cfg = self.cfg
@@ -97,13 +169,23 @@ class System:
             t._ensure_params()
         fid = self.builder._fresh_id()
         window = mapper.probation_window()
-        velocity = t.velocity if t.velocity is not None else jnp.eye(4)
+        if self._anchor is not None:
+            velocity, has_vel, ref_kf_in, fsk_in = self._anchor
+        else:
+            velocity = t.velocity if t.velocity is not None else jnp.eye(4)
+            has_vel = jnp.asarray(t.velocity is not None)
+            ref_kf_in = jnp.int32(t.ref_kf)
+            fsk_in = jnp.int32(t.frames_since_kf)
+        if b is None:
+            if self._dummy_b is None:
+                self._dummy_b = jnp.zeros((), jnp.float32)
+            b = self._dummy_b
         state, frame, res = fused.frame_and_keyframe_step(
-            self.map, jnp.asarray(image), jnp.asarray(depth), jnp.int32(fid),
+            self.map, jnp.asarray(a), jnp.asarray(b), jnp.int32(fid),
             t.last_frame.xy, t.last_point_idx,
             t.last_frame.octave, t.last_frame.angle, t.last_frame.desc,
-            t.last_Tcw, velocity, jnp.asarray(t.velocity is not None),
-            jnp.int32(t.ref_kf), jnp.int32(t.frames_since_kf),
+            t.last_Tcw, velocity, has_vel,
+            ref_kf_in, fsk_in,
             jnp.int32(t.n_keyframes),
             jnp.asarray(self.enable_mapping and not self.localization_only),
             window, t.K, t._params,
@@ -125,104 +207,130 @@ class System:
             min_gap=cfg.tracking.kf_min_gap,
             kf_ratio=0.75 if cfg.sensor != Sensor.MONOCULAR else 0.9,
             use_close_cond=cfg.sensor != Sensor.MONOCULAR,
+            sensor=sensor,
         )
         self.map = state
         t.map = state
         frame = frame._replace(frame_id=fid, timestamp=timestamp)
-        Tcw_np, ok, n_inl, is_kf, kf_id, kf_Tcw_np = jax.device_get(
-            (res.track.Tcw, res.track.ok, res.track.n_inliers,
-             res.is_kf, res.kf_id, res.kf_Tcw)
+        prev_anchors = (t.last_frame, t.last_point_idx, t.last_Tcw)
+        # advance the device-side anchors NOW (no host sync): the next
+        # dispatch can proceed before this frame's results are pulled
+        t.last_frame = frame
+        t.last_point_idx = res.next_point_idx
+        t.last_Tcw = res.next_Tcw
+        self._anchor = (
+            res.next_velocity, res.accept, res.next_ref_kf,
+            res.next_frames_since_kf,
         )
-        ok = bool(ok) and int(n_inl) >= cfg.tracking.min_inliers_local
+        return _TurboRec(res, frame, (sensor, a, b, timestamp), prev_anchors)
+
+    def _turbo_resolve(self, rec) -> bool:
+        """Host pull + bookkeeping for a dispatched frame. Returns True
+        when an event occurred that invalidates any in-flight dispatch
+        (LOST, auto-reset, loop correction)."""
+        from orbslam2_tpu.geometry import se3
+
+        t = self.tracker
+        cfg = self.cfg
+        mapper = self.local_mapper
+        res, frame = rec.res, rec.frame
+        # ONE host pull per frame: scalars + the keyframe outputs (the
+        # latter are small and returned unconditionally, so fetching them
+        # here saves a second ~25-60 ms relay round trip on every keyframe)
+        Tcw_np, ok_coarse, accept, n_inl, is_kf, kf_id, kf_Tcw_np, keep_np, new_pids_np = (
+            jax.device_get(
+                (res.track.Tcw, res.track.ok, res.accept,
+                 res.track.n_inliers, res.is_kf, res.kf_id, res.kf_Tcw,
+                 res.window_keep, res.new_pids)
+            )
+        )
+        ok = bool(accept)
         n_inl = int(n_inl)
         is_kf = bool(is_kf)
         if not ok:
-            if self.localization_only and bool(res.track.ok):
+            if self.localization_only and bool(ok_coarse):
                 # map coverage fell below the accept gate but coarse
                 # tracking still works: switch to mbVO instead of LOST
                 # (reference src/Tracking.cc:365-380)
                 t.mb_vo = True
                 t.state = TrackState.OK
-                t.velocity = res.track.Tcw @ se3.inverse(t.last_Tcw)
-                t.last_Tcw = res.track.Tcw
-                t.last_point_idx = res.track.point_idx
-                t.last_frame = frame
+                t.velocity = res.next_velocity
                 t.last_inliers = n_inl
                 t._log_pose(frame, True, Tcw_np)
-                tr = TrackResult(Tcw_np, t.state, n_inl, False)
-                self.results.append(tr)
-                return tr.Tcw
+                self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
+                return False
             t.state = TrackState.LOST
             t.velocity = None
+            # restore the pre-frame anchors: relocalization must match
+            # against the last GOOD frame, not the one that lost tracking
+            t.last_frame, t.last_point_idx, t.last_Tcw = rec.prev_anchors
+            self._anchor = None
             t._log_pose(frame, False)
-            tr = TrackResult(Tcw_np, t.state, n_inl, False)
-            self.results.append(tr)
+            self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
             # auto-reset only while BUILDING a young map (reference
             # src/Tracking.cc:502-510); never wipe a frozen/loaded map
             if t.n_keyframes <= 5 and not self.localization_only:
-                self.reset()
-            return tr.Tcw
+                self._in_resolve = True
+                try:
+                    self.reset()
+                finally:
+                    self._in_resolve = False
+            return True
 
         t.state = TrackState.OK
-        prev_Tcw = t.last_Tcw
+        loop_fired = False
         if is_kf and self.enable_mapping and not self.localization_only:
             kf_id = int(kf_id)
-            keep_np, new_pids_np = jax.device_get((res.window_keep, res.new_pids))
             self.map = mapper.after_keyframe(self.map, kf_id, new_pids_np, keep_np)
-            loop_fired = False
             if self.enable_loop_closing:
                 n_before = self.loop_closer.loops_closed if self.loop_closer else 0
                 self.map = self._run_loop_closing(self.map, kf_id)
-                loop_fired = (
-                    self.loop_closer.loops_closed > n_before
-                )
+                loop_fired = self.loop_closer.loops_closed > n_before
             t.map = self.map
             t.on_new_keyframe(kf_id, ref_pose_np=None if loop_fired else kf_Tcw_np)
-            t.last_Tcw = (
-                self.map.kf_Tcw[kf_id] if loop_fired else res.kf_Tcw
-            )
-            t.last_point_idx = res.kf_point_idx
-            # keep the motion model alive across keyframes (the reference
-            # updates mVelocity every frame, src/Tracking.cc:447-456; local
-            # BA only nudges the pose, and track_step has a 2x-radius
-            # fallback). Dropping it made every post-KF frame fall back to
-            # the slower reference-KF branch.
-            t.velocity = (
-                None if loop_fired else res.track.Tcw @ se3.inverse(prev_Tcw)
-            )
+            if loop_fired:
+                # poses moved globally: re-anchor to the corrected keyframe
+                # and drop the (now inconsistent) motion model
+                t.last_Tcw = self.map.kf_Tcw[kf_id]
+                t.last_point_idx = res.kf_point_idx
+                t.velocity = None
+                self._anchor = None
+            else:
+                # keep the motion model alive across keyframes (the
+                # reference updates mVelocity every frame,
+                # src/Tracking.cc:447-456)
+                t.velocity = res.next_velocity
             t.frames_since_kf = 0
         else:
-            t.velocity = res.track.Tcw @ se3.inverse(prev_Tcw)
-            t.last_Tcw = res.track.Tcw
-            t.last_point_idx = res.track.point_idx
+            t.velocity = res.next_velocity
             t.frames_since_kf += 1
-        t.last_frame = frame
         t.last_inliers = n_inl
         t._log_pose(frame, True, Tcw_np)
-        tr = TrackResult(Tcw_np, t.state, n_inl, is_kf)
-        self.results.append(tr)
-        return tr.Tcw
+        self.results.append(TrackResult(Tcw_np, t.state, n_inl, is_kf))
+        return loop_fired
+
+    def flush(self):
+        """Resolve any in-flight pipelined frame (host pull + bookkeeping).
+        Called automatically by every introspection/export entry point."""
+        if self._pending is not None:
+            rec, self._pending = self._pending, None
+            self._turbo_resolve(rec)
+        self._anchor = None
 
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
         if self.tracker.state == TrackState.OK:
-            self.tracker.map = self.map
-            res = self.tracker.process_stereo_fast(
-                jnp.asarray(left), jnp.asarray(right), timestamp
-            )
-            self.map = self.tracker.map
-            self._handle_kf_request()
-            self.results.append(res)
-            if res.state == TrackState.LOST and self.tracker.n_keyframes <= 5:
-                self.reset()
-            return res.Tcw
+            return self._track_turbo("stereo", left, right, timestamp)
         frame = self.builder.stereo(jnp.asarray(left), jnp.asarray(right), timestamp)
         return self._track(frame)
 
     def track_monocular(self, image, timestamp: float = 0.0) -> np.ndarray:
+        if self.tracker.state == TrackState.OK:
+            return self._track_turbo("mono", image, None, timestamp)
         frame = self.builder.monocular(jnp.asarray(image), timestamp)
         return self._track(frame)
 
     def _track(self, frame: FrameData) -> np.ndarray:
+        self.flush()
         self.tracker.map = self.map
         reloc_db = self.loop_closer.db if self.loop_closer is not None else None
         res = self.tracker.process(frame, reloc_db=reloc_db)
@@ -322,6 +430,7 @@ class System:
                 iters=self.cfg.vocab.train_iters,
             )
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
+            self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
         self._loop_key, sub = jax.random.split(self._loop_key)
         state, result = self.loop_closer.process_keyframe(state, kf_id, sub)
@@ -338,6 +447,10 @@ class System:
         """Clear the map and return to NOT_INITIALIZED. The per-frame
         trajectory log survives (so evaluation/export still cover the whole
         session; the reference wipes it, src/Tracking.cc:1640-1651)."""
+        if not self._in_resolve:
+            self.flush()
+        self._pending = None
+        self._anchor = None
         old_traj = self.tracker.trajectory
         self.map = ms.allocate(self.cfg.map, self.cfg.orb)
         self.tracker = Tracker(self.cfg, self.builder, self.map)
@@ -352,6 +465,7 @@ class System:
         kept; per-session static parameters are rebuilt."""
         import dataclasses
 
+        self.flush()
         self.cfg = dataclasses.replace(self.cfg, camera=camera_cfg)
         old_tracker = self.tracker
         self.builder = FrameBuilder(self.cfg)
@@ -367,25 +481,31 @@ class System:
     # -- mode switches (reference src/System.cc:272-284) -------------------
 
     def activate_localization_mode(self):
+        self.flush()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
+        self.flush()
         self.localization_only = False
 
     # -- introspection (reference src/System.cc:287-305, 497-512) ----------
 
     def get_tracking_state(self) -> TrackState:
+        self.flush()
         return self.tracker.state
 
     def num_keyframes(self) -> int:
+        self.flush()
         return int(self.map.num_kf)
 
     def num_points(self) -> int:
+        self.flush()
         return int(jnp.sum(self.map.mp_valid))
 
     def frame_poses(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(timestamps [N], poses_cw [N,4,4], tracked [N]) with each frame's
         pose re-anchored to its reference keyframe's FINAL pose."""
+        self.flush()
         kf_poses = np.asarray(self.map.kf_Tcw)
         ts, poses, tracked = [], [], []
         for t, Tcr, ref, ok in self.tracker.trajectory:
@@ -419,6 +539,7 @@ class System:
 
     def save_map(self, path: str):
         """Serialize the full map pytree (+ BoW database if present)."""
+        self.flush()
         payload = {f"map_{k}": np.asarray(v) for k, v in self.map._asdict().items()}
         if self.loop_closer is not None:
             payload["db_vectors"] = np.asarray(self.loop_closer.db.vectors)
@@ -427,6 +548,7 @@ class System:
         np.savez_compressed(path, **payload)
 
     def load_map(self, path: str):
+        self.flush()
         import jax.numpy as jnp
 
         from orbslam2_tpu.pipeline.loop_closing import LoopCloser
@@ -447,4 +569,4 @@ class System:
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
 
     def shutdown(self):
-        pass
+        self.flush()
