@@ -427,26 +427,39 @@ class LoopCloser:
             self._retrain_vocabulary(state)
         self.db.add(kf_id, state.kf_desc[kf_id], state.kf_feat_valid[kf_id])
 
-    def warmup_compiles(self, feature_slots: int):
-        """Precompile every vocabulary-size bucket's train/transform/query
-        programs with dummy data. Retrains then hit cached executables in
-        the steady state — on a remote-compile TPU a fresh program costs
-        seconds and would land in the middle of tracking."""
+    def warmup_compiles(self, feature_slots: int, state: ms.MapState = None):
+        """Precompile every vocabulary-size bucket's train / transform /
+        DB-rebuild / query / detect programs with dummy data. Retrains and
+        detections then hit cached executables in the steady state — on a
+        remote-compile TPU a fresh program costs seconds and would land in
+        the middle of tracking (measured: a mid-bench _bow_rows compile
+        ate the entire pipelining win)."""
         cap = self.reservoir.cap
+        Kcap = self.cfg.map.max_keyframes
         dummy = jnp.zeros((cap, 8), jnp.uint32)
         dvalid = jnp.zeros((cap,), bool).at[:2048].set(True)
         fdesc = jnp.zeros((feature_slots, 8), jnp.uint32)
         fvalid = jnp.ones((feature_slots,), bool)
+        kf_desc = jnp.zeros((Kcap, feature_slots, 8), jnp.uint32)
+        kf_valid = jnp.zeros((Kcap, feature_slots), bool)
+        present = jnp.zeros((Kcap,), bool).at[0].set(True)
         key = jax.random.PRNGKey(0)
         v = 256
         while True:
             cb = bow.train_codebook(
                 dummy, dvalid, key, vocab_size=v, iters=self.cfg.vocab.train_iters
             )
-            db = KeyFrameDatabase(cb, self.cfg.map.max_keyframes)
+            db = KeyFrameDatabase(cb, Kcap)
             vec = db.add(0, fdesc, fvalid)
-            db.query(vec, jnp.zeros(self.cfg.map.max_keyframes, bool), 0.0,
-                     jnp.zeros((self.cfg.map.max_keyframes,) * 2, jnp.int32))
+            db.query(vec, jnp.zeros(Kcap, bool), 0.0,
+                     jnp.zeros((Kcap, Kcap), jnp.int32))
+            rows = _bow_rows(kf_desc, kf_valid, present, cb)
+            if state is not None:
+                _detect_candidates(
+                    state, rows, present, jnp.int32(Kcap - 1),
+                    covis_threshold=self.cfg.map.covis_threshold,
+                    max_candidates=int(self.cfg.vocab.max_candidates),
+                )
             if v * 4 > self.cfg.vocab.vocab_size:
                 break
             v *= 4

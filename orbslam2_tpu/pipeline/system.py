@@ -120,7 +120,7 @@ class System:
         pipelined = (
             self.cfg.tracking.pipeline_depth >= 1
             and not self.localization_only
-            and self.tracker.n_keyframes > 5
+            and self.tracker.n_keyframes >= 1
         )
         if not pipelined:
             if self._pending is not None:  # draining out of pipelined mode
@@ -222,6 +222,17 @@ class System:
             res.next_velocity, res.accept, res.next_ref_kf,
             res.next_frames_since_kf,
         )
+        # start the host copy of the small result scalars NOW: by the time
+        # _turbo_resolve pulls them (one frame later in pipelined mode) the
+        # bytes are already on the host and the get does not pay the relay
+        # round trip again
+        try:
+            for arr in (res.track.Tcw, res.track.ok, res.accept,
+                        res.track.n_inliers, res.is_kf, res.kf_id, res.kf_Tcw,
+                        res.window_keep, res.new_pids):
+                arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return _TurboRec(res, frame, (sensor, a, b, timestamp), prev_anchors)
 
     def _turbo_resolve(self, rec) -> bool:
@@ -430,7 +441,7 @@ class System:
                 iters=self.cfg.vocab.train_iters,
             )
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
-            self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots)
+            self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
         self._loop_key, sub = jax.random.split(self._loop_key)
         state, result = self.loop_closer.process_keyframe(state, kf_id, sub)
