@@ -406,6 +406,11 @@ class LoopCloser:
         # consistency groups: list of (set_of_kf_ids, count, misses)
         self._consistent_groups: list[tuple[set, int, int]] = []
         self.loops_closed = 0
+        # async detection: (kf_id, device handles) dispatched at keyframe
+        # insertion, finalized on a later frame so the detect program's
+        # round trip overlaps tracking (reference runs the whole
+        # LoopClosing thread asynchronously, src/LoopClosing.cc:60-100)
+        self._pending_detect = None
 
     # ------------------------------------------------------------------
     def add_keyframe_to_db(self, state: ms.MapState, kf_id: int):
@@ -491,8 +496,45 @@ class LoopCloser:
         self.db.present = present
 
     # ------------------------------------------------------------------
+    def dispatch_detect(self, state: ms.MapState, kf_id: int) -> bool:
+        """Launch the DetectLoop device program for this keyframe and start
+        its host copy; the (cheap) host side runs in `finalize_detect` on a
+        later frame, so the detect round trip overlaps tracking. Returns
+        True when a detection is now pending."""
+        if kf_id < self.last_loop_kf + 10 or kf_id < 10:
+            return False
+        handles = _detect_candidates(
+            state, self.db.vectors, self.db.present, jnp.int32(kf_id),
+            covis_threshold=self.cfg.map.covis_threshold,
+            max_candidates=int(self.cfg.vocab.max_candidates),
+        )
+        try:
+            for h in handles:
+                h.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._pending_detect = (kf_id, handles)
+        return True
+
+    def finalize_detect(self, state: ms.MapState, key) -> tuple[ms.MapState, Optional[LoopResult]]:
+        """Pull the pending detection, run consistency grouping, and (if a
+        candidate passes 3-consecutive consistency) the full geometric
+        verification + correction chain."""
+        kf_id, handles = self._pending_detect
+        self._pending_detect = None
+        accepted = self._group_candidates(state, kf_id, handles)
+        for c in accepted:
+            key, sub = jax.random.split(key)
+            okay, S12, n_inl, f2_final, n_guided = self.compute_sim3(
+                state, kf_id, c, sub
+            )
+            if okay:
+                state = self.correct_loop(state, kf_id, c, S12, matches=f2_final)
+                return state, LoopResult(True, c, n_inl)
+        return state, None
+
     def detect(self, state: ms.MapState, kf_id: int) -> list[int]:
-        """DetectLoop (reference src/LoopClosing.cc:105-232).
+        """DetectLoop (reference src/LoopClosing.cc:105-232), synchronous.
 
         The candidate scoring/selection runs as ONE device program and the
         host pulls ONE tuple (candidates + their covisibility rows for the
@@ -500,12 +542,17 @@ class LoopCloser:
         round trips per keyframe, ~50 ms each through the TPU relay."""
         if kf_id < self.last_loop_kf + 10 or kf_id < 10:
             return []
-        cand_d, mask_d, cand_covis_d = _detect_candidates(
+        handles = _detect_candidates(
             state, self.db.vectors, self.db.present, jnp.int32(kf_id),
             covis_threshold=self.cfg.map.covis_threshold,
             max_candidates=int(self.cfg.vocab.max_candidates),
         )
-        cand, mask, cand_covis = jax.device_get((cand_d, mask_d, cand_covis_d))
+        return self._group_candidates(state, kf_id, handles)
+
+    def _group_candidates(self, state, kf_id: int, handles) -> list[int]:
+        """Host half of DetectLoop: covisibility-consistency grouping over
+        consecutive keyframes (reference src/LoopClosing.cc:156-232)."""
+        cand, mask, cand_covis = jax.device_get(handles)
         cands = [int(c) for c, m in zip(cand, mask) if m]
 
         # covisibility-consistency over consecutive keyframes (:156-232)

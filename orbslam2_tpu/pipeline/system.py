@@ -245,6 +245,16 @@ class System:
         cfg = self.cfg
         mapper = self.local_mapper
         res, frame = rec.res, rec.frame
+        # finalize a loop detection dispatched at an earlier keyframe: its
+        # device work and host copy overlapped the frames in between
+        # (reference: the LoopClosing thread runs fully asynchronously)
+        event = False
+        if (
+            self.enable_loop_closing
+            and self.loop_closer is not None
+            and self.loop_closer._pending_detect is not None
+        ):
+            event = self._finalize_loop_detection()
         # ONE host pull per frame: scalars + the keyframe outputs (the
         # latter are small and returned unconditionally, so fetching them
         # here saves a second ~25-60 ms relay round trip on every keyframe)
@@ -289,28 +299,20 @@ class System:
             return True
 
         t.state = TrackState.OK
-        loop_fired = False
         if is_kf and self.enable_mapping and not self.localization_only:
             kf_id = int(kf_id)
             self.map = mapper.after_keyframe(self.map, kf_id, new_pids_np, keep_np)
             if self.enable_loop_closing:
-                n_before = self.loop_closer.loops_closed if self.loop_closer else 0
-                self.map = self._run_loop_closing(self.map, kf_id)
-                loop_fired = self.loop_closer.loops_closed > n_before
+                # DISPATCH detection only; the result is pulled on a later
+                # frame so the round trip overlaps tracking
+                event = self._dispatch_loop_detection(kf_id) or event
             t.map = self.map
-            t.on_new_keyframe(kf_id, ref_pose_np=None if loop_fired else kf_Tcw_np)
-            if loop_fired:
-                # poses moved globally: re-anchor to the corrected keyframe
-                # and drop the (now inconsistent) motion model
-                t.last_Tcw = self.map.kf_Tcw[kf_id]
-                t.last_point_idx = res.kf_point_idx
-                t.velocity = None
-                self._anchor = None
-            else:
-                # keep the motion model alive across keyframes (the
-                # reference updates mVelocity every frame,
-                # src/Tracking.cc:447-456)
-                t.velocity = res.next_velocity
+            # a correction that just landed moved this keyframe's pose: the
+            # pulled kf_Tcw_np is stale, force a fresh ref-pose pull
+            t.on_new_keyframe(kf_id, ref_pose_np=None if event else kf_Tcw_np)
+            # keep the motion model alive across keyframes (the reference
+            # updates mVelocity every frame, src/Tracking.cc:447-456)
+            t.velocity = res.next_velocity
             t.frames_since_kf = 0
         else:
             t.velocity = res.next_velocity
@@ -318,15 +320,75 @@ class System:
         t.last_inliers = n_inl
         t._log_pose(frame, True, Tcw_np)
         self.results.append(TrackResult(Tcw_np, t.state, n_inl, is_kf))
-        return loop_fired
+        return event
 
     def flush(self):
-        """Resolve any in-flight pipelined frame (host pull + bookkeeping).
-        Called automatically by every introspection/export entry point."""
+        """Resolve any in-flight pipelined frame (host pull + bookkeeping)
+        and any pending loop detection. Called automatically by every
+        introspection/export entry point."""
         if self._pending is not None:
             rec, self._pending = self._pending, None
             self._turbo_resolve(rec)
+        if (
+            self.loop_closer is not None
+            and self.loop_closer._pending_detect is not None
+        ):
+            self._finalize_loop_detection()
         self._anchor = None
+
+    def _ensure_loop_closer(self, state, kf_id: int):
+        """Lazy-init the vocabulary from the map's own descriptors
+        (no shipped DBoW2 file; SURVEY.md §2a) + precompile warmup."""
+        import jax
+
+        from orbslam2_tpu.pipeline.loop_closing import LoopCloser
+        from orbslam2_tpu.vocab import bow
+
+        if self.loop_closer is None:
+            codebook = bow.train_codebook(
+                state.kf_desc[kf_id], state.kf_feat_valid[kf_id],
+                jax.random.PRNGKey(self.cfg.vocab.seed),
+                vocab_size=self.cfg.vocab.vocab_size,
+                iters=self.cfg.vocab.train_iters,
+            )
+            self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
+            self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
+            self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
+
+    def _dispatch_loop_detection(self, kf_id: int) -> bool:
+        """Register the keyframe with the loop DB and launch detection;
+        returns True if finalizing a back-to-back pending detection fired
+        a correction."""
+        self._ensure_loop_closer(self.map, kf_id)
+        lc = self.loop_closer
+        event = False
+        if lc._pending_detect is not None:
+            event = self._finalize_loop_detection()
+        lc.add_keyframe_to_db(self.map, kf_id)
+        lc.dispatch_detect(self.map, kf_id)
+        return event
+
+    def _finalize_loop_detection(self) -> bool:
+        """Pull + act on a previously dispatched loop detection. Returns
+        True when a loop correction moved the map."""
+        import jax
+
+        lc = self.loop_closer
+        self._loop_key, sub = jax.random.split(self._loop_key)
+        state, result = lc.finalize_detect(self.map, sub)
+        self.map = state
+        t = self.tracker
+        t.map = state
+        if result is not None and result.detected:
+            # poses moved globally: re-anchor tracking to the corrected
+            # reference keyframe and drop the motion model
+            t.refresh_ref_pose()
+            if t.ref_kf >= 0:
+                t.last_Tcw = state.kf_Tcw[t.ref_kf]
+            t.velocity = None
+            self._anchor = None
+            return True
+        return False
 
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
         if self.tracker.state == TrackState.OK:
@@ -425,24 +487,17 @@ class System:
         return kf_id, kf_Tcw_new, kf_bind_new, kf_Tcw_np, loop_fired
 
     def _run_loop_closing(self, state, kf_id: int):
-        """Lazy-init the vocabulary from the map's own descriptors, then run
-        detection/correction for this keyframe."""
+        """Synchronous detection/correction for this keyframe (cold path;
+        the turbo path uses _dispatch_loop_detection/_finalize instead)."""
         import jax
 
-        from orbslam2_tpu.pipeline.loop_closing import LoopCloser
-        from orbslam2_tpu.vocab import bow
-
-        if self.loop_closer is None:
-            descs = state.kf_desc[kf_id]
-            valid = state.kf_feat_valid[kf_id]
-            codebook = bow.train_codebook(
-                descs, valid, jax.random.PRNGKey(self.cfg.vocab.seed),
-                vocab_size=self.cfg.vocab.vocab_size,
-                iters=self.cfg.vocab.train_iters,
-            )
-            self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
-            self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
-            self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
+        self._ensure_loop_closer(state, kf_id)
+        if self.loop_closer._pending_detect is not None:
+            # an async detection from the turbo path is still in flight:
+            # keep keyframe order by finalizing it first
+            self.map = state
+            self._finalize_loop_detection()
+            state = self.map
         self._loop_key, sub = jax.random.split(self._loop_key)
         state, result = self.loop_closer.process_keyframe(state, kf_id, sub)
         if result is not None and result.detected:
