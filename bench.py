@@ -46,8 +46,11 @@ def main():
         # pipeline_depth=1: overlap each frame's host pull with the next
         # frame's device compute (the relay costs ~40 ms per round trip)
         tracking=TrackingConfig(th_depth=40.0, pipeline_depth=1),
-        solver=SolverConfig(ba_max_points=4096, local_ba_iters_first=4,
-                            local_ba_iters_second=6,
+        # local-BA problem size: measured on the v5e, per-iteration cost is
+        # ~linear in capped points x iterations and flat in cameras; 2048
+        # points + 4+5 iterations track the same ATE at ~half the BA cost
+        solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=4,
+                            local_ba_iters_second=5,
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
     )
     profile = "--profile" in sys.argv

@@ -107,7 +107,11 @@ def track_step(
     obs_mm = trk.build_pose_observations.__wrapped__(
         bind_mm, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
     )
-    res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K)
+    # coarse stages only SEED the local-map passes below, which re-optimize
+    # from scratch — a short robust schedule is enough (the full 4x10 costs
+    # 40 sequential GN iterations of latency-bound [S]-sized kernels; the
+    # whole program runs ~160 deep with four full schedules)
+    res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K, rounds=2, iters=6)
     ok_mm = has_velocity & (res_mm.num_inliers >= p.min_track) & (
         jnp.sum(bind_mm >= 0) >= 20
     )
@@ -121,7 +125,7 @@ def track_step(
     obs_ref = trk.build_pose_observations.__wrapped__(
         bind_ref, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
     )
-    res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K)
+    res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K, rounds=2, iters=6)
     ok_ref = res_ref.num_inliers >= p.min_track
 
     # Both branches are computed in one program; PREFER the reference-KF
@@ -149,7 +153,7 @@ def track_step(
     )
     bounds = (p.bounds[0], p.bounds[1], p.bounds[2], p.bounds[3])
 
-    def local_pass(Tcw, bind_seed, radius_mult):
+    def local_pass(Tcw, bind_seed, radius_mult, rounds=4, iters=10):
         b, vis = trk.search_local_points.__wrapped__(
             state, lpts, lpts_mask, Tcw, bind_seed, frame, K,
             p.scale_factors, bounds, radius_mult, num_levels=num_levels,
@@ -158,10 +162,13 @@ def track_step(
         obs = trk.build_pose_observations.__wrapped__(
             b, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
         )
-        r = pose_opt.pose_optimize(Tcw, obs, K)
+        r = pose_opt.pose_optimize(Tcw, obs, K, rounds=rounds, iters=iters)
         return r.Tcw, jnp.where(r.inliers, b, -1), r.num_inliers, vis
 
-    T1, b1, n1, vis1 = local_pass(Tcw, bind, jnp.float32(1.0))
+    # pass 1 refines the coarse seed (3x6); pass 2 runs the full reference
+    # schedule (4x10 with per-round chi2 reclassification) on the final
+    # association set — the only place the deep schedule pays for itself
+    T1, b1, n1, vis1 = local_pass(Tcw, bind, jnp.float32(1.0), rounds=3, iters=6)
     acc1 = n1 >= p.min_track
     T1s = jnp.where(acc1, T1, Tcw)
     b1s = jnp.where(acc1, b1, bind)
