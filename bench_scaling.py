@@ -1,12 +1,15 @@
-"""Distributed-BA scaling harness (BASELINE.md §B: scaling efficiency of
-sharded global bundle adjustment).
+"""Distributed-backend scaling harness (BASELINE.md §B: scaling efficiency
+of the sharded optimizers; SURVEY.md §2b: global BA + essential graph +
+place recognition are the distributed components).
 
-Runs the point-sharded Schur BA (parallel/sharded_ba.py) on a synthetic
-full-map problem across mesh sizes and reports per-iteration time and
-strong-scaling efficiency. On a real multi-chip/multi-host slice the mesh
-axes ride ICI/DCN; on this single-chip container the multi-device numbers
-come from the virtual CPU mesh (correctness + collective-structure check,
-not a hardware scaling measurement — run on a pod slice for real numbers).
+Runs the point-sharded Schur BA (parallel/sharded_ba.py), the edge-sharded
+pose graph (parallel/sharded_pose_graph.py), and the row-sharded BoW query
+(parallel/sharded_bow.py) on synthetic full-map problems across mesh sizes
+and reports per-iteration time and strong-scaling efficiency. On a real
+multi-chip/multi-host slice the mesh axes ride ICI/DCN; on this
+single-chip container the multi-device numbers come from the virtual CPU
+mesh (correctness + collective-structure check, not a hardware scaling
+measurement — run on a pod slice for real numbers).
 
 Prints one JSON line.
 """
@@ -83,10 +86,72 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         results[n] = dt
 
-    base = results[sizes[0]] * sizes[0]
-    eff = {
-        n: round(base / (results[n] * n), 3) for n in sizes
-    }
+    def efficiency(results):
+        base = results[sizes[0]] * sizes[0]
+        return {n: round(base / (results[n] * n), 3) for n in sizes}
+
+    eff = efficiency(results)
+
+    # ---- edge-sharded pose graph (SURVEY §2b: essential graph) ----------
+    from orbslam2_tpu.parallel import sharded_pose_graph as spg
+    from orbslam2_tpu.solvers import pose_graph as pg
+
+    Kv, E = 256, 8192  # dense strong-covisibility graph at KITTI KF count
+    verts = jax.vmap(pg.se3_to_pack)(jnp.asarray(np.stack([
+        np.asarray(se3.exp_se3(jnp.asarray(
+            [0.3 * i, 0, 0, 0, 0.02 * i, 0], jnp.float32)))
+        for i in range(Kv)
+    ]).astype(np.float32)))
+    ei = rng.integers(0, Kv, E).astype(np.int32)
+    ej = ((ei + 1 + rng.integers(0, 8, E)) % Kv).astype(np.int32)
+    rel = jax.vmap(lambda a, b: pg.se3_to_pack(
+        pg.pack_to_se3(verts[b]) @ jnp.linalg.inv(pg.pack_to_se3(verts[a]))
+    ))(ej, ei)  # self-consistent measurements (timing, not accuracy)
+    pgprob = pg.PoseGraphProblem(
+        vertices=verts,
+        vertex_valid=jnp.ones(Kv, bool),
+        vertex_fixed=jnp.zeros(Kv, bool).at[0].set(True),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        edge_meas=rel,
+        edge_valid=jnp.ones(E, bool),
+        edge_weight=jnp.ones(E, jnp.float32),
+    )
+    pg_iters = 3
+    pg_results = {}
+    for n in sizes:
+        mesh = spg.make_edges_mesh(n)
+        padded = spg.pad_edges(pgprob, n)
+        out = spg.sharded_optimize_pose_graph(padded, mesh, iters=1)  # warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = spg.sharded_optimize_pose_graph(padded, mesh, iters=pg_iters)
+        jax.block_until_ready(out)
+        pg_results[n] = (time.perf_counter() - t0) / pg_iters
+    pg_eff = efficiency(pg_results)
+
+    # ---- row-sharded BoW query (SURVEY §2b: place recognition) ----------
+    from orbslam2_tpu.parallel import sharded_bow
+
+    Kb, V = 4096, 4096
+    vecs = rng.uniform(0, 1, (Kb, V)).astype(np.float32)
+    vecs /= vecs.sum(axis=1, keepdims=True)
+    covis = (rng.uniform(0, 1, (Kb, Kb)) > 0.99).astype(np.float32) * 40
+    q = jnp.asarray(vecs[Kb // 2])
+    args = (jnp.asarray(vecs), jnp.ones(Kb, bool), q,
+            jnp.zeros(Kb, bool), 0.01, jnp.asarray(covis))
+    bow_results = {}
+    reps = 20
+    for n in sizes:
+        mesh = sharded_bow.make_kfs_mesh(n)
+        out = sharded_bow.sharded_query(*args, mesh)  # warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = sharded_bow.sharded_query(*args, mesh)
+        jax.block_until_ready(out)
+        bow_results[n] = (time.perf_counter() - t0) / reps
+    bow_eff = efficiency(bow_results)
+
     print(json.dumps({
         "metric": "sharded_ba_iter_ms",
         "value": round(results[max(sizes)] * 1e3, 2),
@@ -95,6 +160,16 @@ def main():
         "extra": {
             "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in results.items()},
             "strong_scaling_efficiency": eff,
+            "pose_graph": {
+                "problem": f"K={Kv}, E={E}, dense 7Kx7K solve replicated",
+                "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in pg_results.items()},
+                "strong_scaling_efficiency": pg_eff,
+            },
+            "bow_query": {
+                "problem": f"K={Kb}, V={V}",
+                "per_mesh_ms": {str(n): round(v * 1e3, 3) for n, v in bow_results.items()},
+                "strong_scaling_efficiency": bow_eff,
+            },
             "devices": [str(d) for d in jax.devices()[:2]],
             "note": "virtual CPU mesh unless run on a pod slice",
         },

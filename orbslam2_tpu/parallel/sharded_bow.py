@@ -1,0 +1,75 @@
+"""Distributed place-recognition scoring over a device mesh.
+
+The keyframe database is one dense [K, V] BoW matrix (vocab/database.py);
+a loop/relocalization query is a [K, V] x [V] scoring broadcast plus a
+covisibility group accumulation. At KITTI scale (K >= 1024, V = 4096) the
+scoring row-sweep and the [K, K] group matmul are the heavy terms, and
+both are row-shardable:
+
+* DATABASE ROWS (keyframes) are sharded across the mesh's ``kfs`` axis —
+  each device scores the query against its keyframe slice and accumulates
+  group scores with its covisibility row block;
+* the per-shard score vectors are `all_gather`-ed (K floats — tiny) so the
+  0.75-of-best candidate selection runs replicated.
+
+Matches `vocab/database._query` exactly on any mesh (scoring is
+elementwise per row; no reduction reordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from orbslam2_tpu.vocab import bow
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_candidates"))
+def sharded_query(
+    vectors, present, vec, exclude_mask, min_score, covis, mesh: Mesh,
+    max_candidates: int = 8,
+):
+    """Row-sharded loop/reloc candidate query (semantics of
+    vocab/database._query; reference DetectLoopCandidates,
+    src/KeyFrameDatabase.cc:87-215). K must be a multiple of the mesh
+    size. Returns (cand_ids [C], cand_mask [C], scores [K]), replicated."""
+    kspec = P("kfs")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(kspec, kspec, P(), kspec, P(), kspec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(vecs_l, present_l, q, excl_l, min_s, covis_l):
+        scores_l = bow.l1_score(q, vecs_l)  # [K/n] local rows
+        ok_l = present_l & ~excl_l & (scores_l >= min_s)
+        scores_ok_l = jnp.where(ok_l, scores_l, 0.0)
+        # K floats across the mesh: the only collectives in the query
+        scores_ok = jax.lax.all_gather(scores_ok_l, "kfs", tiled=True)
+        ok = jax.lax.all_gather(ok_l, "kfs", tiled=True)
+        scores = jax.lax.all_gather(scores_l, "kfs", tiled=True)
+        covis_pos_l = (covis_l > 0).astype(jnp.float32)  # [K/n, K] row block
+        acc_l = scores_ok_l + covis_pos_l @ scores_ok
+        acc = jax.lax.all_gather(acc_l, "kfs", tiled=True)
+        acc = jnp.where(ok, acc, -1.0)
+        best = jnp.max(acc)
+        admit = ok & (acc >= 0.75 * best) & (best > 0)
+        order = jnp.argsort(jnp.where(admit, -acc, jnp.inf))
+        cand = order[:max_candidates]
+        return cand.astype(jnp.int32), admit[cand], scores
+
+    return run(vectors, present, vec, exclude_mask, jnp.float32(min_score), covis)
+
+
+def make_kfs_mesh(n_devices: int | None = None) -> Mesh:
+    import numpy as np
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), ("kfs",))

