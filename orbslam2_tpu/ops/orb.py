@@ -83,22 +83,6 @@ class FrameFeatures(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _cell_ranks(cell_ids: jnp.ndarray) -> jnp.ndarray:
-    """Given candidate cell ids in priority order (best first), return each
-    candidate's rank within its own cell (0 = best in that cell).
-
-    Stable argsort keeps priority order inside equal cells; the rank is the
-    position minus the first position of that cell value.
-    """
-    order = jnp.argsort(cell_ids, stable=True)
-    sorted_cells = cell_ids[order]
-    n = cell_ids.shape[0]
-    first = jnp.searchsorted(sorted_cells, sorted_cells, side="left")
-    ranks_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    ranks = jnp.zeros(n, jnp.int32).at[order].set(ranks_sorted)
-    return ranks
-
-
 def select_uniform(
     score: jnp.ndarray,
     strong: jnp.ndarray,
@@ -118,22 +102,46 @@ def select_uniform(
     intent of DistributeOctTree (src/ORBextractor.cc:562-792).
     """
     H, W = score.shape
-    flat = jnp.where(strong, score + 1e6, score).reshape(-1)
-    prio, idx = jax.lax.top_k(flat, n_candidates)
+    prio_map = jnp.where(strong, score + 1e6, score)
+    ncy = (H + cell_size - 1) // cell_size
+    ncx = (W + cell_size - 1) // cell_size
+    n_cells = ncy * ncx
+    # pad to whole cells, tile into [n_cells, cell_size^2]
+    padded = jnp.full((ncy * cell_size, ncx * cell_size), -jnp.inf, prio_map.dtype)
+    padded = padded.at[:H, :W].set(prio_map)
+    cells = (
+        padded.reshape(ncy, cell_size, ncx, cell_size)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_cells, cell_size * cell_size)
+    )
+    # per-cell top-R by iterated masked max: a global top_k over H*W pixels
+    # sorts ~300k elements per level (slow on TPU); R max-pool passes over
+    # the cell tiles are pure VPU reductions. R covers the budget even if
+    # only half the cells contain corners.
+    R = int(min(max(2, 2 * -(-n_keep // max(n_cells, 1)) + 1), cell_size * cell_size))
+    rows = jnp.arange(n_cells)
+    prios, within = [], []
+    for _ in range(R):
+        am = jnp.argmax(cells, axis=1)
+        m = cells[rows, am]
+        prios.append(m)
+        within.append(am.astype(jnp.int32))
+        cells = cells.at[rows, am].set(-jnp.inf)
+    prio = jnp.concatenate(prios)              # [n_cells * R]
+    within = jnp.concatenate(within)
+    rank = jnp.repeat(jnp.arange(R, dtype=jnp.float32), n_cells)
+    cid = jnp.tile(rows.astype(jnp.int32), R)
     valid = jnp.isfinite(prio)
-    ys = (idx // W).astype(jnp.int32)
-    xs = (idx % W).astype(jnp.int32)
-    n_cells_x = (W + cell_size - 1) // cell_size
-    cell = (ys // cell_size) * n_cells_x + (xs // cell_size)
-    # invalid candidates -> their own giant cell id so they rank last
-    cell = jnp.where(valid, cell, jnp.int32(2**30) + jnp.arange(n_candidates))
-    ranks = _cell_ranks(cell)
-    # key: ascending rank, then descending priority; invalid last
-    key = ranks.astype(jnp.float32) * 1e7 - jnp.minimum(prio, 9e6)
+    ys = (cid // ncx) * cell_size + within // cell_size
+    xs = (cid % ncx) * cell_size + within % cell_size
+    # key: ascending rank, then descending priority; invalid last (same
+    # ordering as the reference's DistributeOctTree round-robin intent)
+    key = rank * 1e7 - jnp.minimum(prio, 9e6)
     key = jnp.where(valid, key, jnp.inf)
     _, sel = jax.lax.top_k(-key, n_keep)
+    strong_sel = strong[ys[sel], xs[sel]]
+    resp = jnp.where(valid[sel], prio[sel] - jnp.where(strong_sel, 1e6, 0.0), 0.0)
     xy = jnp.stack([xs[sel], ys[sel]], axis=-1).astype(jnp.float32)
-    resp = jnp.where(valid[sel], flat[idx[sel]] - jnp.where(strong.reshape(-1)[idx[sel]], 1e6, 0.0), 0.0)
     return xy, resp, valid[sel]
 
 

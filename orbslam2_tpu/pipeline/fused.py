@@ -310,8 +310,19 @@ def keyframe_step(
     """Insert a keyframe and run the mapping stages (reference
     LocalMapping::Run body, src/LocalMapping.cc:48-97, sans BA).
 
-    Returns (state, kf_id, new_point_ids [n_neighbors*S])."""
+    Returns (state, kf_id, new_point_ids [S], slot-aligned, -1 = none)."""
     S = frame.xy.shape[0]
+
+    # 0) capacity-pressure recycling: this keyframe may allocate up to 2S
+    # new points (depth seeds + triangulations); recycle the weakest mature
+    # points if the pool is that close to saturation. Points the tracker
+    # just bound are protected — add_keyframe is about to record their
+    # observations, and binding a recycled slot would corrupt the tables.
+    protect = jnp.zeros(state.capacity_mp, bool).at[
+        jnp.where(point_idx >= 0, point_idx, state.capacity_mp)
+    ].set(True, mode="drop")
+    state = lm.ensure_free_slots(state, state.num_kf, headroom=2 * S,
+                                 protect=protect)
 
     # 1) insert keyframe with current bindings
     state, kf_id = ms.add_keyframe.__wrapped__(
@@ -344,61 +355,102 @@ def keyframe_step(
             frame.desc, normal, max_d / scale_factor_last, max_d, frame.ur,
         )
 
-    # 3) triangulate against top covisible neighbors (scan, fixed count)
+    # 3) triangulate against top covisible neighbors. All n_neighbors
+    # epipolar matches run BATCHED against the same state (one
+    # [n_neighbors, S, S] Hamming program feeds the MXU; the previous
+    # lax.scan serialized n_neighbors small matches and threaded the whole
+    # MapState through every iteration). Slot arbitration — first valid
+    # neighbor in covisibility order wins — reproduces the scan's
+    # first-binder-wins semantics exactly, because triangulate_pair only
+    # reads keyframe arrays that the scan iterations never modified.
     w = state.covis[kf_id] * state.kf_valid
     _, neigh = jax.lax.top_k(w, n_neighbors)
     neigh_ok = w[neigh] >= covis_threshold
 
-    def triangulate_one(st: ms.MapState, args):
-        nkf, ok_n = args
-        f2, pw, ok, dist1 = lm.triangulate_pair.__wrapped__(
-            st, kf_id, nkf, K, p.scale_factors, level_sigma2,
+    f2_all, pw_all, ok_all, dist1_all = jax.vmap(
+        lambda nkf: lm.triangulate_pair.__wrapped__(
+            state, kf_id, nkf, K, p.scale_factors, level_sigma2,
             jnp.float32(baseline), num_levels=num_levels,
         )
-        ok = ok & ok_n & (st.kf_point_idx[kf_id] < 0)
-        octv = st.kf_octave[kf_id]
-        scl = p.scale_factors[jnp.clip(octv, 0, num_levels - 1)]
-        max_d = dist1 * scl
-        c1 = se3.camera_center(st.kf_Tcw[kf_id])
-        rays = pw - c1
-        normal = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
-        st, pids = ms.add_points.__wrapped__(
-            st, pw, ok, kf_id, jnp.arange(S, dtype=jnp.int32),
-            st.kf_desc[kf_id], normal, max_d / scale_factor_last, max_d,
-            st.kf_ur[kf_id],
-        )
-        st = lm.bind_points_to_kf.__wrapped__(st, nkf, f2, pids, pids >= 0)
-        return st, pids
-
-    state, new_pids = jax.lax.scan(
-        triangulate_one, state, (neigh, neigh_ok)
+    )(neigh)
+    ok_all = ok_all & neigh_ok[:, None] & (state.kf_point_idx[kf_id] < 0)[None, :]
+    nsel = jnp.argmax(ok_all, axis=0)              # [S] winning neighbor row
+    any_ok = jnp.any(ok_all, axis=0)
+    cols = jnp.arange(S)
+    pw = pw_all[nsel, cols]
+    dist1 = dist1_all[nsel, cols]
+    octv = state.kf_octave[kf_id]
+    scl = p.scale_factors[jnp.clip(octv, 0, num_levels - 1)]
+    max_d = dist1 * scl
+    c1 = se3.camera_center(state.kf_Tcw[kf_id])
+    rays = pw - c1
+    normal = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+    state, new_pids = ms.add_points.__wrapped__(
+        state, pw, any_ok, kf_id, jnp.arange(S, dtype=jnp.int32),
+        state.kf_desc[kf_id], normal, max_d / scale_factor_last, max_d,
+        state.kf_ur[kf_id],
     )
-    new_pids = new_pids.reshape(-1)
 
-    # 4) fuse with neighbors, both directions
+    def bind_second_view(st: ms.MapState, args):
+        i_n, nkf = args
+        m = (nsel == i_n) & (new_pids >= 0)
+        st = lm.bind_points_to_kf.__wrapped__(st, nkf, f2_all[i_n], new_pids, m)
+        return st, None
+
+    state, _ = jax.lax.scan(
+        bind_second_view, state,
+        (jnp.arange(n_neighbors, dtype=jnp.int32), neigh),
+    )
+
+    # 4) fuse with neighbors, both directions — the reference's
+    # SearchInNeighbors (src/LocalMapping.cc:487-575): Fuse a SNAPSHOT of
+    # this keyframe's matches into each target, then fuse the DEDUPED union
+    # of all targets' points back into this keyframe once. The expensive
+    # dense matches batch over targets (vmap) against the snapshot; the
+    # cheap scatter updates apply sequentially so conflict arbitration
+    # reads current observation counts.
     bounds = (p.bounds[0], p.bounds[1], p.bounds[2], p.bounds[3])
-
-    def fuse_one(st: ms.MapState, args):
-        nkf, ok_n = args
-        mine = jnp.where(ok_n, st.kf_point_idx[kf_id], -1)
-        st = lm.fuse_points_into_kf.__wrapped__(
-            st, mine, mine >= 0, nkf, K, p.scale_factors, bounds,
+    mine = state.kf_point_idx[kf_id]
+    feat_a = jax.vmap(
+        lambda nkf: lm.fuse_match(
+            state, mine, mine >= 0, nkf, K, p.scale_factors, bounds,
             num_levels=num_levels,
         )
-        theirs = jnp.where(ok_n, st.kf_point_idx[nkf], -1)
-        st = lm.fuse_points_into_kf.__wrapped__(
-            st, theirs, theirs >= 0, kf_id, K, p.scale_factors, bounds,
-            num_levels=num_levels,
+    )(neigh)                                        # [n_neighbors, S]
+
+    def apply_one(st: ms.MapState, args):
+        i_n, nkf, ok_n = args
+        st = lm.fuse_apply(
+            st, jnp.where(ok_n, mine, -1), feat_a[i_n], nkf
         )
         return st, None
 
-    state, _ = jax.lax.scan(fuse_one, state, (neigh, neigh_ok))
+    state, _ = jax.lax.scan(
+        apply_one, state,
+        (jnp.arange(n_neighbors, dtype=jnp.int32), neigh, neigh_ok),
+    )
+
+    # union of the neighbors' points, first occurrence only (the
+    # reference's vpFuseCandidates dedupe via mbFuseCandidate flags)
+    theirs = jnp.where(neigh_ok[:, None], state.kf_point_idx[neigh], -1).reshape(-1)
+    P = state.capacity_mp
+    tclip = jnp.clip(theirs, 0, P - 1)
+    M = theirs.shape[0]
+    occ = jnp.full(P, M, jnp.int32).at[
+        jnp.where(theirs >= 0, tclip, P)
+    ].min(jnp.arange(M, dtype=jnp.int32), mode="drop")
+    first_occ = (theirs >= 0) & (occ[tclip] == jnp.arange(M, dtype=jnp.int32))
+    theirs = jnp.where(first_occ, theirs, -1)
+    state = lm.fuse_points_into_kf.__wrapped__(
+        state, theirs, theirs >= 0, kf_id, K, p.scale_factors, bounds,
+        num_levels=num_levels,
+    )
 
     # 5) refresh stats of this KF's bound points + the new ones
     state = ms.recompute_point_stats.__wrapped__(
         state, state.kf_point_idx[kf_id], p.scale_factors
     )
-    state = ms.recompute_point_stats.__wrapped__(state, new_pids[: 2 * S], p.scale_factors)
+    state = ms.recompute_point_stats.__wrapped__(state, new_pids, p.scale_factors)
     return state, kf_id, new_pids
 
 
@@ -554,7 +606,7 @@ class FrameStepOut(NamedTuple):
     kf_id: jnp.ndarray          # int32 (-1 if no keyframe)
     kf_Tcw: jnp.ndarray         # [4,4] post-BA keyframe pose (or track pose)
     kf_point_idx: jnp.ndarray   # [S] post-BA bindings (or track bindings)
-    new_pids: jnp.ndarray       # [n_neighbors*S] (-1 when no keyframe)
+    new_pids: jnp.ndarray       # [S] (-1 when no keyframe)
     window_keep: jnp.ndarray    # [W] bool
     accept: jnp.ndarray         # bool: ok AND >= min_inliers_local
     next_Tcw: jnp.ndarray       # [4,4] anchor pose for the next frame
@@ -715,7 +767,7 @@ def frame_and_keyframe_step(
         return (
             st,
             jnp.int32(-1),
-            jnp.full((n_neighbors * S,), -1, jnp.int32),
+            jnp.full((S,), -1, jnp.int32),
             jnp.zeros((W,), bool),
             out.Tcw,
             out.point_idx,

@@ -60,6 +60,17 @@ def bind_points_to_kf(state: ms.MapState, kf_id, feat_idx, point_ids, mask):
     P = state.capacity_mp
     ok = mask & (point_ids >= 0) & (feat_idx >= 0)
     feat_w = jnp.where(ok, feat_idx, S_cap)
+    # one candidate per feature slot (first wins): with duplicate feats the
+    # slot write would keep one point while BOTH get obs-table entries —
+    # the shadowed point then records an observation the keyframe does not
+    # hold, and a later erase/invalidate of the shadow clears the winner's
+    # binding (dense fuse calls hit this; the reference's sequential Fuse
+    # sees the slot occupied and merges instead, src/ORBmatcher.cc:1459)
+    n_in = point_ids.shape[0]
+    order = jnp.arange(n_in, dtype=jnp.int32)
+    first = jnp.full(S_cap + 1, n_in, jnp.int32).at[feat_w].min(order)
+    ok = ok & (first[feat_w] == order)
+    feat_w = jnp.where(ok, feat_idx, S_cap)
     kpi = state.kf_point_idx.at[kf_id, feat_w].set(
         jnp.where(ok, point_ids, -1).astype(jnp.int32), mode="drop"
     )
@@ -157,6 +168,35 @@ def cull_points(state: ms.MapState, point_ids, current_kf):
     st = invalidate_points(state, pid, bad)
     keep = valid & ~bad & ~graduate
     return st, keep
+
+
+def ensure_free_slots(state: ms.MapState, current_kf, headroom: int,
+                      protect=None):
+    """Capacity-pressure recycling: keep at least `headroom` free point
+    slots by invalidating the weakest MATURE points (lowest n_obs, then
+    worst found-ratio; probation-age points are protected).
+
+    The reference's Map is unbounded (std::set, src/Map.cc) so it never
+    faces this; a fixed-capacity device pytree must recycle or a long
+    session starves — once mp_valid saturates, add_points drops every new
+    point, fresh keyframes bind almost nothing, and loop-closure brute
+    matches fall below their gates (observed on the 205-frame orbit)."""
+    P = state.capacity_mp
+    n_free = jnp.sum(~state.mp_valid)
+    age = current_kf - state.mp_first_kf
+    candidate = state.mp_valid & (age >= 3)
+    if protect is not None:
+        candidate = candidate & ~protect
+    fr = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0
+    )
+    # higher score = more worth keeping; non-candidates never selected
+    score = state.mp_n_obs.astype(jnp.float32) + fr
+    score = jnp.where(candidate, score, jnp.inf)
+    vals, ids = jax.lax.top_k(-score, headroom)   # weakest first
+    n_kill = jnp.clip(headroom - n_free, 0, headroom)
+    kill = (jnp.arange(headroom) < n_kill) & jnp.isfinite(vals)
+    return invalidate_points(state, ids, kill)
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +334,7 @@ def create_new_points(engine_cfg: SlamConfig, state: ms.MapState, kf_id: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_levels",))
-def fuse_points_into_kf(
+def fuse_match(
     state: ms.MapState,
     point_ids,          # [M] candidate points
     point_mask,         # [M]
@@ -305,9 +344,14 @@ def fuse_points_into_kf(
     image_bounds,
     num_levels: int = 8,
 ):
-    """Project points into target_kf; features that match an already-bound
-    slot vote to merge (keep the point with more observations), free slots
-    get bound. Returns updated state."""
+    """Pure-compute half of Fuse: project candidate points into target_kf
+    and find the matching feature slot. Returns feat [M] (slot or -1).
+
+    Split out so a keyframe step can batch the expensive dense matches of
+    several fuse directions (vmap over targets) against one state snapshot
+    — matching the reference's SearchInNeighbors, which also snapshots the
+    current keyframe's matches before the per-target Fuse loop
+    (src/LocalMapping.cc:487-521)."""
     Tcw = state.kf_Tcw[target_kf]
     pid = jnp.clip(point_ids, 0, state.capacity_mp - 1)
     pvalid = point_mask & (point_ids >= 0) & state.mp_valid[pid]
@@ -343,8 +387,19 @@ def fuse_points_into_kf(
         state.kf_octave[target_kf], state.kf_feat_valid[target_kf],
         radius, max_dist=match.TH_LOW, ratio=1.0,
     )
-    feat = res.best_idx                  # per point -> feature slot
-    matched = feat >= 0
+    return res.best_idx                  # per point -> feature slot
+
+
+def fuse_apply(state: ms.MapState, point_ids, feat, target_kf):
+    """State-update half of Fuse: bind free slots, arbitrate conflicts
+    (keep the better-observed point), kill weakened losers. Conflict
+    decisions read the CURRENT state (not the match-time snapshot)."""
+    pid = jnp.clip(point_ids, 0, state.capacity_mp - 1)
+    matched = (feat >= 0) & (point_ids >= 0) & state.mp_valid[pid]
+    # a concurrent fuse into the same target may have bound this point
+    # meanwhile: re-check so the obs table never gets a duplicate entry
+    already = jnp.any(state.mp_obs_kf[pid] == target_kf, axis=1)
+    matched = matched & ~already
     featc = jnp.clip(feat, 0, state.kf_point_idx.shape[1] - 1)
     existing = state.kf_point_idx[target_kf, featc]  # current binding
 
@@ -365,6 +420,28 @@ def fuse_points_into_kf(
     weak = win & (st.mp_n_obs[other] < 2)
     st = invalidate_points(st, other, weak)
     return st
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def fuse_points_into_kf(
+    state: ms.MapState,
+    point_ids,          # [M] candidate points
+    point_mask,         # [M]
+    target_kf,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    image_bounds,
+    num_levels: int = 8,
+):
+    """Project points into target_kf; features that match an already-bound
+    slot vote to merge (keep the point with more observations), free slots
+    get bound. Returns updated state (reference ORBmatcher::Fuse,
+    src/ORBmatcher.cc:1364-1513)."""
+    feat = fuse_match(
+        state, point_ids, point_mask, target_kf, K, scale_factors,
+        image_bounds, num_levels=num_levels,
+    )
+    return fuse_apply(state, point_ids, feat, target_kf)
 
 
 # ---------------------------------------------------------------------------
