@@ -51,12 +51,9 @@ def _local_schur(prob: ba_core.BAProblem, K: Intrinsics, lam, use_kernel):
     Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     )
-    det_ok = jnp.linalg.det(Hpp_d) > 1e-12
-    Hpp_inv = jnp.where(
-        det_ok[:, None, None],
-        jnp.linalg.inv(jnp.where(det_ok[:, None, None], Hpp_d, jnp.eye(3))),
-        0.0,
-    )
+    det, Hinv = ba_core.inv3x3_det(Hpp_d)
+    det_ok = det > 1e-12
+    Hpp_inv = jnp.where(det_ok[:, None, None], Hinv, 0.0)
     # one-hot matmul assembly (see solvers/ba.py: TPU scatters serialize)
     hi = jax.lax.Precision.HIGHEST
     Hcc_blk = jnp.einsum("poij,po,poik->pojk", Jc, w, Jc)

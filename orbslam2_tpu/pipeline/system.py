@@ -211,7 +211,8 @@ class System:
             n_neighbors=5,
             create_close_points=cfg.sensor != Sensor.MONOCULAR,
             max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
-            max_points=sc.ba_max_points, obs_slots=int(self.map.obs_slots),
+            max_points=sc.ba_max_points,
+            obs_slots=min(sc.ba_max_obs_per_point, int(self.map.obs_slots)),
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             max_gap=max(int(cfg.camera.fps) // 2, 5),
             min_gap=cfg.tracking.kf_min_gap,
@@ -510,7 +511,8 @@ class System:
             num_levels=cfg.orb.num_levels,
             create_close_points=cfg.sensor != Sensor.MONOCULAR,
             max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
-            max_points=sc.ba_max_points, obs_slots=int(self.map.obs_slots),
+            max_points=sc.ba_max_points,
+            obs_slots=min(sc.ba_max_obs_per_point, int(self.map.obs_slots)),
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             run_ba=run_ba,
         )
