@@ -141,3 +141,44 @@ class TestMapState:
         )
         assert int(st.num_mp) == 256
         assert (np.asarray(pids[256:]) == -1).all()
+
+    def test_capacity_pressure_recycling(self, rng):
+        """ensure_free_slots keeps headroom by killing the weakest mature
+        points, protects young and explicitly-protected points, and is a
+        no-op when the pool has room."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        P = int(st.capacity_mp)  # 256
+        # fill the pool: 8 batches of 32 points bound to kf 0
+        for b in range(8):
+            pos = jnp.ones((32, 3)) * (b + 1)
+            st, _ = ms.add_points(
+                st, pos, jnp.ones(32, bool), k0, jnp.arange(32, dtype=jnp.int32),
+                jnp.zeros((32, 8), jnp.uint32), jnp.zeros((32, 3)),
+                jnp.zeros(32), jnp.ones(32), jnp.full(32, -1.0),
+            )
+        assert int(jnp.sum(st.mp_valid)) == P
+        # mature points: created at kf 0; pretend we are about to insert
+        # kf 5 so age >= 3 for everything. Give points 0..9 high n_obs.
+        st = st._replace(mp_n_obs=st.mp_n_obs.at[:10].set(9))
+        protect = jnp.zeros(P, bool).at[10:20].set(True)
+        out = lm.ensure_free_slots(st, jnp.int32(5), headroom=64, protect=protect)
+        freed = P - int(jnp.sum(out.mp_valid))
+        assert freed == 64
+        # strong and protected points survive
+        assert bool(out.mp_valid[:20].all())
+        # freed slots are clean: no bindings left behind
+        dead = ~np.asarray(out.mp_valid)
+        assert (np.asarray(out.mp_obs_kf)[dead] < 0).all()
+        kpi = np.asarray(out.kf_point_idx[0])
+        bound = kpi[kpi >= 0]
+        assert np.asarray(out.mp_valid)[bound].all()
+        # young points (age < 3) are never recycled even under pressure
+        st_young = st._replace(mp_first_kf=jnp.full(P, 4, jnp.int32))
+        out2 = lm.ensure_free_slots(st_young, jnp.int32(5), headroom=64)
+        assert int(jnp.sum(out2.mp_valid)) == P
+        # with headroom available it is a no-op
+        out3 = lm.ensure_free_slots(out, jnp.int32(5), headroom=32)
+        assert int(jnp.sum(out3.mp_valid)) == int(jnp.sum(out.mp_valid))
