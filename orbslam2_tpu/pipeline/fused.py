@@ -90,33 +90,17 @@ def track_step(
     """One fused tracking step (reference Track(), src/Tracking.cc:278-538,
     minus keyframe creation)."""
 
-    # ---- coarse stage A: motion model at radius r, fallback 2r ----------
-    Tcw_pred = velocity @ last_Tcw
-    bind_r1, _ = trk.motion_model_match.__wrapped__(
-        Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
-        state.mp_pos, state.mp_valid, frame, K, p.scale_factors, p.radius_th,
-        p.match_max_dist,
-    )
-    bind_r2, _ = trk.motion_model_match.__wrapped__(
-        Tcw_pred, last_xy, last_point_idx, last_octave, last_angle, last_desc,
-        state.mp_pos, state.mp_valid, frame, K, p.scale_factors, 2.0 * p.radius_th,
-        p.match_max_dist,
-    )
-    use_r1 = jnp.sum(bind_r1 >= 0) >= 20
-    bind_mm = jnp.where(use_r1, bind_r1, bind_r2)
-    obs_mm = trk.build_pose_observations.__wrapped__(
-        bind_mm, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
-    )
-    # coarse stages only SEED the local-map passes below, which re-optimize
-    # from scratch — a short robust schedule is enough (the full 4x10 costs
-    # 40 sequential GN iterations of latency-bound [S]-sized kernels; the
-    # whole program runs ~160 deep with four full schedules)
-    res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K, rounds=2, iters=6)
-    ok_mm = has_velocity & (res_mm.num_inliers >= p.min_track) & (
-        jnp.sum(bind_mm >= 0) >= 20
-    )
-
     # ---- coarse stage B: reference keyframe (always computed) -----------
+    # PREFER the reference-KF anchor whenever it is healthy. The
+    # motion-model associations are radius-censored around the velocity
+    # prediction, so they can be wrong-but-self-consistent: once the
+    # prediction drifts, the censored set holds the optimum near the
+    # prediction and the error compounds ~2x per frame (measured on the
+    # textured-room benchmark; ATE 10-17x worse than ref-anchored
+    # tracking). The reference prefers the motion model because BoW search
+    # is its expensive path on CPU (src/Tracking.cc:313-340); on TPU the
+    # dense gated brute match is nearly free, so anchoring every frame to
+    # the keyframe graph is the better operating point.
     bind_ref = trk.reference_kf_match.__wrapped__(
         state.kf_desc[ref_kf], state.kf_point_idx[ref_kf],
         state.kf_angle[ref_kf], state.kf_feat_valid[ref_kf],
@@ -125,25 +109,48 @@ def track_step(
     obs_ref = trk.build_pose_observations.__wrapped__(
         bind_ref, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
     )
+    # coarse stages only SEED the local-map passes below, which re-optimize
+    # from scratch — a short robust schedule is enough (the full 4x10 costs
+    # 40 sequential GN iterations of latency-bound [S]-sized kernels)
     res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K, rounds=2, iters=6)
     ok_ref = res_ref.num_inliers >= p.min_track
-
-    # Both branches are computed in one program; PREFER the reference-KF
-    # anchor whenever it is healthy. The motion-model associations are
-    # radius-censored around the velocity prediction, so they can be
-    # wrong-but-self-consistent: once the prediction drifts, the censored
-    # set holds the optimum near the prediction and the error compounds
-    # ~2x per frame (measured on the textured-room benchmark; ATE 10-17x
-    # worse than ref-anchored tracking). The reference prefers the motion
-    # model because BoW search is the expensive path on CPU
-    # (src/Tracking.cc:313-340); on TPU the dense gated brute match is
-    # nearly free, so anchoring every frame to the keyframe graph is the
-    # better operating point. Motion model remains the fallback when the
-    # reference-KF match is weak (fast motion away from the keyframe).
     use_ref = ok_ref & (res_ref.num_inliers >= 15)
+
+    # ---- coarse stage A: motion model, ONLY when the ref anchor is weak --
+    # (fast motion away from the keyframe). Its result is unused whenever
+    # use_ref holds, so the whole fallback — two radius-gated matches and a
+    # 2x6 schedule — lives in the untaken lax.cond branch on most frames.
+    def mm_branch(_):
+        Tcw_pred = velocity @ last_Tcw
+        bind_r1, _ = trk.motion_model_match.__wrapped__(
+            Tcw_pred, last_xy, last_point_idx, last_octave, last_angle,
+            last_desc, state.mp_pos, state.mp_valid, frame, K,
+            p.scale_factors, p.radius_th, p.match_max_dist,
+        )
+        bind_r2, _ = trk.motion_model_match.__wrapped__(
+            Tcw_pred, last_xy, last_point_idx, last_octave, last_angle,
+            last_desc, state.mp_pos, state.mp_valid, frame, K,
+            p.scale_factors, 2.0 * p.radius_th, p.match_max_dist,
+        )
+        use_r1 = jnp.sum(bind_r1 >= 0) >= 20
+        bind_mm = jnp.where(use_r1, bind_r1, bind_r2)
+        obs_mm = trk.build_pose_observations.__wrapped__(
+            bind_mm, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
+        )
+        res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K, rounds=2, iters=6)
+        ok_mm = has_velocity & (res_mm.num_inliers >= p.min_track) & (
+            jnp.sum(bind_mm >= 0) >= 20
+        )
+        return res_mm.Tcw, jnp.where(res_mm.inliers, bind_mm, -1), ok_mm
+
+    def mm_skip(_):
+        S_ = frame.xy.shape[0]
+        return last_Tcw, jnp.full((S_,), -1, jnp.int32), jnp.asarray(False)
+
+    mm_Tcw, mm_bind, ok_mm = jax.lax.cond(use_ref, mm_skip, mm_branch, None)
     use_mm = ok_mm & ~use_ref
-    Tcw = jnp.where(use_mm, res_mm.Tcw, res_ref.Tcw)
-    bind = jnp.where(use_mm, jnp.where(res_mm.inliers, bind_mm, -1),
+    Tcw = jnp.where(use_mm, mm_Tcw, res_ref.Tcw)
+    bind = jnp.where(use_mm, mm_bind,
                      jnp.where(res_ref.inliers, bind_ref, -1))
     coarse_ok = ok_mm | ok_ref
 

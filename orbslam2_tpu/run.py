@@ -11,11 +11,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
+def _honor_platform_env():
+    """Respect JAX_PLATFORMS even when a sitecustomize force-set
+    jax_platforms before this process saw the env var (containers that pin
+    an accelerator plugin do this; the env var alone is then ignored)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     ap = argparse.ArgumentParser(description="TPU-native ORB-SLAM2-class SLAM")
     ap.add_argument("--dataset", choices=["tum", "kitti", "euroc", "synthetic"],
                     required=True)
