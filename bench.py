@@ -164,9 +164,15 @@ def main():
             jax.block_until_ready(s.map.kf_Tcw)
             sensor_fps[f"{name}_fps"] = round((24 - sw) / (time.perf_counter() - t1), 2)
 
+    stages = {}
     if profile:
         for name, vals in stage_times.items():
             tail = vals[max(len(vals) // 2, 1):] or vals
+            stages[name] = {
+                "n": len(vals),
+                "first_ms": round(vals[0] * 1e3, 1),
+                "steady_ms": round(float(np.median(tail)) * 1e3, 1),
+            }
             print(
                 f"# {name}: n={len(vals)} first={vals[0]*1e3:.0f}ms "
                 f"steady={np.median(tail)*1e3:.0f}ms",
@@ -195,6 +201,7 @@ def main():
                     ),
                     "scene": "textured_room_forward",
                     "device": str(jax.devices()[0]),
+                    **({"stages": stages} if stages else {}),
                     **sensor_fps,
                 },
             }

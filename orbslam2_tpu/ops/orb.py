@@ -150,13 +150,8 @@ def select_uniform(
 # ---------------------------------------------------------------------------
 
 
-def brief_descriptors(
-    blurred: jnp.ndarray,
-    xy: jnp.ndarray,
-    angle: jnp.ndarray,
-    half: int = 16,
-) -> jnp.ndarray:
-    """Steered-BRIEF descriptors, [N, 8] uint32.
+def brief_from_patches(pt: jnp.ndarray, angle: jnp.ndarray, half: int = 16) -> jnp.ndarray:
+    """Steered-BRIEF descriptors from pre-gathered blurred patches.
 
     For each keypoint: rotate the 256x2 sample offsets by its orientation,
     round to the nearest pixel, compare the two samples, pack bits
@@ -176,7 +171,6 @@ def brief_descriptors(
     r1 = jnp.round(rotate(p1)).astype(jnp.int32) + half  # patch coords
     r2 = jnp.round(rotate(p2)).astype(jnp.int32) + half
 
-    pt = patches.gather_patches(blurred, xy, half)  # [N, S, S]
     size = 2 * half + 1
     flat = pt.reshape(pt.shape[0], size * size)
     i1 = r1[..., 1] * size + r1[..., 0]  # [N, 256]
@@ -185,6 +179,17 @@ def brief_descriptors(
     v2 = jnp.take_along_axis(flat, i2, axis=1)
     bits = (v1 < v2).astype(jnp.uint32)  # [N, 256]
     return _pack_bits(bits)
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray,
+    xy: jnp.ndarray,
+    angle: jnp.ndarray,
+    half: int = 16,
+) -> jnp.ndarray:
+    """Steered-BRIEF descriptors, [N, 8] uint32 (single-image variant)."""
+    pt = patches.gather_patches(blurred, xy, half)  # [N, S, S]
+    return brief_from_patches(pt, angle, half)
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -218,7 +223,10 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
     budgets = pyramid.feature_budgets(orb)
     scales = pyramid.level_scales(orb)
 
-    xs, resps, angles, octaves, descs, valids = [], [], [], [], [], []
+    # stage 1: per-level detection + spatially-uniform selection (shapes
+    # differ per level, so this loop cannot batch)
+    xs_loc, xs, resps, octaves, valids = [], [], [], [], []
+    used_levels = []
     for lvl in range(orb.num_levels):
         img = levels[lvl]
         n_l = budgets[lvl]
@@ -229,25 +237,50 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
             img, orb.ini_th_fast, orb.min_th_fast, orb.edge_threshold
         )
         xy, resp, valid = select_uniform(score, strong, n_l, cand, orb.cell_size)
-
-        raw_patches = patches.gather_patches(img, xy, orb.half_patch)
-        angle = patches.ic_angle(raw_patches, orb.half_patch)
-        blurred = pyramid.gaussian_blur(img)
-        desc = brief_descriptors(blurred, xy, angle)
-
+        xs_loc.append(xy)
         xs.append(xy * scales[lvl])
         resps.append(resp)
-        angles.append(angle)
         octaves.append(jnp.full((n_l,), lvl, jnp.int32))
-        descs.append(desc)
         valids.append(valid)
+        used_levels.append(lvl)
 
+    xy_loc = jnp.concatenate(xs_loc, axis=0)
     xy = jnp.concatenate(xs, axis=0)
     resp = jnp.concatenate(resps, axis=0)
-    angle = jnp.concatenate(angles, axis=0)
     octave = jnp.concatenate(octaves, axis=0)
-    desc = jnp.concatenate(descs, axis=0)
     valid = jnp.concatenate(valids, axis=0)
+
+    # stage 2: orientation + descriptors for ALL levels in one batch. The
+    # per-level images (raw for IC angle, blurred for BRIEF) are edge-
+    # padded and placed on a [L, Hp, Wp] canvas; a single stacked gather
+    # then feeds one ic_angle and one BRIEF over every keypoint — the
+    # per-level loop serialized num_levels small gather/moment/compare
+    # chains. Exact: the FAST edge border (>= edge_threshold) keeps every
+    # patch inside its own level, so canvas padding is never read.
+    half_ic = orb.half_patch          # 31x31 IC-angle window (ref HALF_PATCH_SIZE)
+    half_br = 16                      # 33x33 BRIEF sampling window
+    H0, W0 = levels[0].shape
+    Hp, Wp = H0 + 2 * half_br, W0 + 2 * half_br
+    L = orb.num_levels
+    raw_c = jnp.zeros((L, Hp, Wp), levels[0].dtype)
+    blur_c = jnp.zeros((L, Hp, Wp), levels[0].dtype)
+    for lvl in used_levels:
+        img = levels[lvl]
+        h, w = img.shape
+        raw_c = raw_c.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(
+            jnp.pad(img, half_br, mode="edge")
+        )
+        blur_c = blur_c.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(
+            jnp.pad(pyramid.gaussian_blur(img), half_br, mode="edge")
+        )
+    raw_patches = patches.gather_patches_stack(raw_c, octave, xy_loc, half_br)
+    crop = half_br - half_ic
+    angle = patches.ic_angle(
+        raw_patches[:, crop: crop + 2 * half_ic + 1, crop: crop + 2 * half_ic + 1],
+        half_ic,
+    )
+    blur_patches = patches.gather_patches_stack(blur_c, octave, xy_loc, half_br)
+    desc = brief_from_patches(blur_patches, angle, half_br)
 
     # pad to the static slot count
     S = orb.feature_slots

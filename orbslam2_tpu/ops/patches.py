@@ -37,6 +37,34 @@ def gather_patches(image: jnp.ndarray, xy: jnp.ndarray, half: int) -> jnp.ndarra
     return jax.vmap(one)(iy, ix)
 
 
+def gather_patches_stack(
+    stack: jnp.ndarray, level: jnp.ndarray, xy: jnp.ndarray, half: int
+) -> jnp.ndarray:
+    """Gather patches for keypoints spread across pyramid LEVELS in one
+    batched call.
+
+    Args:
+      stack: [L, Hp, Wp] canvas of per-level images, each already
+        edge-padded by `half` and placed at the origin (regions beyond a
+        level's true extent are never read as long as keypoints sit at
+        least `half` inside their level — the FAST edge border
+        guarantees this).
+      level: [N] int32 level index per keypoint.
+      xy: [N, 2] keypoint centers in LEVEL-LOCAL coords.
+      half: patch half-size.
+
+    Returns: [N, 2*half+1, 2*half+1] float32. One fused gather replaces
+    num_levels sequential per-level gathers in the extractor."""
+    size = 2 * half + 1
+    ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, stack.shape[2] - size)
+    iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, stack.shape[1] - size)
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(stack, (l, y, x), (1, size, size))[0]
+
+    return jax.vmap(one)(level, iy, ix)
+
+
 @partial(jax.jit, static_argnames=("half",))
 def ic_angle(patches: jnp.ndarray, half: int = 15) -> jnp.ndarray:
     """Intensity-centroid orientation per patch (radians).

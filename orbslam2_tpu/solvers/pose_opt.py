@@ -88,6 +88,46 @@ def _chi2(r, inv_sigma2, is_stereo):
     return e2 * inv_sigma2
 
 
+def solve6_spd(H, b):
+    """Solve H x = b for a damped-SPD 6x6 via fully unrolled Cholesky.
+
+    jnp.linalg.solve lowers to pivoted LU whose sequential control flow
+    costs real latency on TPU; pose optimization runs ~80 GN iterations
+    per frame, each with one 6x6 solve, so the unrolled scalar form (21
+    rsqrt/div + static triangular substitutions) is worth it. H must be
+    SPD (callers damp the diagonal)."""
+    n = 6
+    # Cholesky H = L L^T, unrolled
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 @partial(jax.jit, static_argnames=("rounds", "iters"))
 def pose_optimize(
     Tcw0: jnp.ndarray,
@@ -121,7 +161,7 @@ def pose_optimize(
         H = jnp.einsum("nij,nik->jk", JW, J)
         b = jnp.einsum("nij,ni->j", JW, r)
         H = H + 1e-5 * jnp.eye(6) * (jnp.trace(H) / 6.0 + 1e-6)
-        dx = jnp.linalg.solve(H, -b)
+        dx = solve6_spd(H, -b)
         # guard: reject non-finite or absurd steps
         ok = jnp.all(jnp.isfinite(dx)) & (jnp.sum(b * b) > 1e-20)
         dx = jnp.where(ok, dx, 0.0)
