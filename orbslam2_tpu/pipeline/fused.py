@@ -184,7 +184,7 @@ def track_step(
     # runs a single TrackLocalMap search; a from-scratch re-association at a
     # smaller radius could return FEWER matches and was being accepted
     # whenever it cleared min_track, discarding a better first pass)
-    T2, b2, n2, vis2 = local_pass(T1s, b1s, jnp.float32(0.6))
+    T2, b2, n2, vis2 = local_pass(T1s, b1s, jnp.float32(0.6), rounds=4, iters=6)
     acc2 = (n2 >= n1) & (n2 >= p.min_track)
     Tcw_f = jnp.where(acc2, T2, T1s)
     bind_f = jnp.where(acc2, b2, b1s)
