@@ -49,8 +49,8 @@ def main():
         # local-BA problem size: measured on the v5e, per-iteration cost is
         # ~linear in capped points x iterations and flat in cameras; 2048
         # points + 4+5 iterations track the same ATE at ~half the BA cost
-        solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=4,
-                            local_ba_iters_second=5,
+        solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=3,
+                            local_ba_iters_second=4,
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
     )
     profile = "--profile" in sys.argv
