@@ -532,9 +532,25 @@ def keyframe_full_step(
         state = state._replace(
             mp_pos=state.mp_pos.at[pid_w].set(pw, mode="drop")
         )
+    # keyframe-culling candidates (reference KeyFrameCulling,
+    # src/LocalMapping.cc:684-752 sweeps ALL local keyframes every
+    # iteration): redundancy of the top covisible neighbors is computed
+    # HERE so the host reads it in the same pull as the other keyframe
+    # outputs — a separate redundancy dispatch costs a full relay round
+    # trip, which is why round 1 only checked every 4th keyframe.
+    wc = state.covis[kf_id] * state.kf_valid
+    wc = wc.at[0].set(0)                      # never cull the origin
+    _, cull_ids = jax.lax.top_k(wc, 10)
+    cull_ok = (wc[cull_ids] >= covis_threshold) & (cull_ids != kf_id)
+    cull_red = jax.vmap(lambda c: lm.keyframe_redundancy.__wrapped__(state, c))(
+        cull_ids
+    )
+    cull_red = jnp.where(cull_ok, cull_red, 0.0)
+
     # return the (possibly BA-adjusted) anchors so the host needs no extra
     # gather dispatches to refresh the tracker
-    return state, kf_id, new_pids, keep, state.kf_Tcw[kf_id], state.kf_point_idx[kf_id]
+    return (state, kf_id, new_pids, keep, state.kf_Tcw[kf_id],
+            state.kf_point_idx[kf_id], cull_ids, cull_red)
 
 
 @partial(
@@ -615,6 +631,8 @@ class FrameStepOut(NamedTuple):
     kf_point_idx: jnp.ndarray   # [S] post-BA bindings (or track bindings)
     new_pids: jnp.ndarray       # [S] (-1 when no keyframe)
     window_keep: jnp.ndarray    # [W] bool
+    cull_ids: jnp.ndarray       # [10] top covisible neighbors (culling cands)
+    cull_red: jnp.ndarray       # [10] their redundancy fractions
     accept: jnp.ndarray         # bool: ok AND >= min_inliers_local
     next_Tcw: jnp.ndarray       # [4,4] anchor pose for the next frame
     next_point_idx: jnp.ndarray # [S] anchor bindings for the next frame
@@ -756,7 +774,10 @@ def frame_and_keyframe_step(
     S = frame.xy.shape[0]
 
     def kf_branch(st):
-        st2, kf_id, new_pids, keep, kf_Tcw, kf_bind = keyframe_full_step.__wrapped__(
+        # BA only from the third keyframe on; rerun the no-BA variant would
+        # double-compile, so mask: when run_ba is false the caller has
+        # n_keyframes < 2, where BA on <3 cameras is harmless (gauge-fixed)
+        return keyframe_full_step.__wrapped__(
             st, frame, out.Tcw, out.point_idx, probation_window, K, p,
             level_sigma2, inv_sigma2,
             scale_factor_last=scale_factor_last, baseline=baseline,
@@ -765,10 +786,6 @@ def frame_and_keyframe_step(
             max_local=max_local, max_fixed=max_fixed, max_points=max_points,
             obs_slots=obs_slots, iters1=iters1, iters2=iters2, run_ba=True,
         )
-        # BA only from the third keyframe on; rerun the no-BA variant would
-        # double-compile, so mask: when run_ba is false the caller has
-        # n_keyframes < 2, where BA on <3 cameras is harmless (gauge-fixed)
-        return st2, kf_id, new_pids, keep, kf_Tcw, kf_bind
 
     def no_kf(st):
         return (
@@ -778,9 +795,11 @@ def frame_and_keyframe_step(
             jnp.zeros((W,), bool),
             out.Tcw,
             out.point_idx,
+            jnp.full((10,), -1, jnp.int32),
+            jnp.zeros((10,), jnp.float32),
         )
 
-    state, kf_id, new_pids, keep, kf_Tcw, kf_bind = jax.lax.cond(
+    state, kf_id, new_pids, keep, kf_Tcw, kf_bind, cull_ids, cull_red = jax.lax.cond(
         need_kf, kf_branch, no_kf, state
     )
     # device-side anchor selection for a pipelined caller (mirrors the host
@@ -790,6 +809,7 @@ def frame_and_keyframe_step(
     res = FrameStepOut(
         track=out, is_kf=need_kf, kf_id=kf_id, kf_Tcw=kf_Tcw,
         kf_point_idx=kf_bind, new_pids=new_pids, window_keep=keep,
+        cull_ids=cull_ids, cull_red=cull_red,
         accept=accept,
         next_Tcw=jnp.where(need_kf, kf_Tcw, out.Tcw),
         next_point_idx=jnp.where(need_kf, kf_bind, out.point_idx),

@@ -691,10 +691,18 @@ class LocalMapper:
         self._window_n = n
         return jnp.asarray(window)
 
-    def after_keyframe(self, state: ms.MapState, kf_id: int, new_pids, keep) -> ms.MapState:
+    def after_keyframe(self, state: ms.MapState, kf_id: int, new_pids, keep,
+                       cull_ids=None, cull_red=None) -> ms.MapState:
         """Host bookkeeping after the fused keyframe program: update the
         probation window and run keyframe culling (reference
-        KeyFrameCulling, src/LocalMapping.cc:684-752)."""
+        KeyFrameCulling, src/LocalMapping.cc:684-752).
+
+        The fused keyframe program computes the top covisible neighbors'
+        redundancy on-device and returns it with the other keyframe
+        outputs (`cull_ids`/`cull_red`), so culling costs ZERO extra
+        dispatches unless a keyframe actually crosses the 90% bar. Cold
+        callers that lack those outputs fall back to an amortized
+        on-demand check."""
         self.n_keyframes += 1
         W = self.RECENT_WINDOW
         n = self._window_n
@@ -706,8 +714,16 @@ class LocalMapper:
         if len(fresh):
             self.recent_points = np.concatenate([self.recent_points, fresh])[-W:]
 
-        # keyframe culling every few keyframes: drop one redundant covisible
-        # neighbor (amortized; each check is two small dispatches)
+        if cull_ids is not None:
+            if self.n_keyframes >= 12:
+                ids = np.asarray(cull_ids)
+                red = np.asarray(cull_red)
+                for c, r in zip(ids, red):
+                    if c >= 0 and c != kf_id and r > 0.9:
+                        state = remove_keyframe(state, jnp.int32(int(c)))
+            return state
+
+        # cold path: amortized check, two small dispatches per candidate
         if self.n_keyframes % 4 == 0 and self.n_keyframes >= 12:
             covis = np.asarray(state.covis[kf_id])
             cands = np.argsort(-covis)[:3]

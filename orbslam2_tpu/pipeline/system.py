@@ -240,7 +240,8 @@ class System:
         try:
             for arr in (res.track.Tcw, res.track.ok, res.accept,
                         res.track.n_inliers, res.is_kf, res.kf_id, res.kf_Tcw,
-                        res.window_keep, res.new_pids):
+                        res.window_keep, res.new_pids, res.cull_ids,
+                        res.cull_red):
                 arr.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
@@ -269,11 +270,12 @@ class System:
         # ONE host pull per frame: scalars + the keyframe outputs (the
         # latter are small and returned unconditionally, so fetching them
         # here saves a second ~25-60 ms relay round trip on every keyframe)
-        Tcw_np, ok_coarse, accept, n_inl, is_kf, kf_id, kf_Tcw_np, keep_np, new_pids_np = (
+        (Tcw_np, ok_coarse, accept, n_inl, is_kf, kf_id, kf_Tcw_np, keep_np,
+         new_pids_np, cull_ids_np, cull_red_np) = (
             jax.device_get(
                 (res.track.Tcw, res.track.ok, res.accept,
                  res.track.n_inliers, res.is_kf, res.kf_id, res.kf_Tcw,
-                 res.window_keep, res.new_pids)
+                 res.window_keep, res.new_pids, res.cull_ids, res.cull_red)
             )
         )
         ok = bool(accept)
@@ -318,7 +320,10 @@ class System:
         t.state = TrackState.OK
         if is_kf and self.enable_mapping and not self.localization_only:
             kf_id = int(kf_id)
-            self.map = mapper.after_keyframe(self.map, kf_id, new_pids_np, keep_np)
+            self.map = mapper.after_keyframe(
+                self.map, kf_id, new_pids_np, keep_np,
+                cull_ids=cull_ids_np, cull_red=cull_red_np,
+            )
             if self.enable_loop_closing:
                 # DISPATCH detection only; the result is pulled on a later
                 # frame so the round trip overlaps tracking
@@ -501,7 +506,7 @@ class System:
         sc = cfg.solver
         window = mapper.probation_window()
         run_ba = t.n_keyframes >= 2  # this insert makes the third keyframe
-        state, kf_dev, new_pids, keep, kf_Tcw_new, kf_bind_new = fused.keyframe_full_step(
+        state, kf_dev, new_pids, keep, kf_Tcw_new, kf_bind_new, cull_ids, cull_red = fused.keyframe_full_step(
             self.map, frame, Tcw, point_idx, window, self.builder.K, t._params,
             mapper.level_sigma2, mapper.inv_sigma2,
             scale_factor_last=float(cfg.orb.scale_factor ** (cfg.orb.num_levels - 1)),
@@ -516,11 +521,14 @@ class System:
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             run_ba=run_ba,
         )
-        kf_id_np, keep_np, new_pids_np, kf_Tcw_np = jax.device_get(
-            (kf_dev, keep, new_pids, kf_Tcw_new)
+        kf_id_np, keep_np, new_pids_np, kf_Tcw_np, cull_ids_np, cull_red_np = (
+            jax.device_get((kf_dev, keep, new_pids, kf_Tcw_new, cull_ids, cull_red))
         )
         kf_id = int(kf_id_np)
-        state = mapper.after_keyframe(state, kf_id, new_pids_np, keep_np)
+        state = mapper.after_keyframe(
+            state, kf_id, new_pids_np, keep_np,
+            cull_ids=cull_ids_np, cull_red=cull_red_np,
+        )
         self.log.emit("keyframe", kf_id=kf_id, frame_id=int(frame.frame_id),
                       n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
         loop_fired = False
