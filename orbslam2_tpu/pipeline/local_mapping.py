@@ -680,6 +680,9 @@ class LocalMapper:
         self.inv_sigma2 = 1.0 / self.level_sigma2
         self.recent_points = np.zeros((0,), np.int32)
         self.n_keyframes = 0
+        # (culled_kf, parent_kf, Tcp) records; the System drains these to
+        # re-anchor trajectory entries logged against culled keyframes
+        self.culled_log: list[tuple[int, int, np.ndarray]] = []
 
     def probation_window(self) -> jnp.ndarray:
         """Fixed-size [W] array of recent point ids for in-program culling."""
@@ -720,7 +723,7 @@ class LocalMapper:
                 red = np.asarray(cull_red)
                 for c, r in zip(ids, red):
                     if c >= 0 and c != kf_id and r > 0.9:
-                        state = remove_keyframe(state, jnp.int32(int(c)))
+                        state = self._cull(state, int(c))
             return state
 
         # cold path: amortized check, two small dispatches per candidate
@@ -732,9 +735,19 @@ class LocalMapper:
                 if c == 0 or c == kf_id or covis[c] < self.cfg.map.covis_threshold:
                     continue
                 if float(keyframe_redundancy(state, jnp.int32(c))) > 0.9:
-                    state = remove_keyframe(state, jnp.int32(c))
+                    state = self._cull(state, c)
                     break
         return state
+
+    def _cull(self, state: ms.MapState, c: int) -> ms.MapState:
+        """Remove keyframe c and record (c, parent, Tcp) so the caller can
+        re-anchor any trajectory entries referencing it."""
+        parent = int(state.kf_parent[c])
+        Tc = np.asarray(state.kf_Tcw[c])
+        Tp = np.asarray(state.kf_Tcw[jnp.clip(parent, 0, state.capacity_kf - 1)])
+        Tcp = Tc @ np.linalg.inv(Tp) if parent >= 0 else np.eye(4)
+        self.culled_log.append((c, max(parent, -1), Tcp))
+        return remove_keyframe(state, jnp.int32(c))
 
     def post_keyframe(self, state: ms.MapState, kf_id: int, new_pids) -> ms.MapState:
         """Unfused companion (kept for the mono/stereo cold paths and tests):

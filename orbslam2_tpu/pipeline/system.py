@@ -324,6 +324,7 @@ class System:
                 self.map, kf_id, new_pids_np, keep_np,
                 cull_ids=cull_ids_np, cull_red=cull_red_np,
             )
+            self._drain_culls()
             if self.enable_loop_closing:
                 # DISPATCH detection only; the result is pulled on a later
                 # frame so the round trip overlaps tracking
@@ -351,6 +352,14 @@ class System:
                           n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
         self.log.emit("frame", **rec)
         return event
+
+    def _drain_culls(self):
+        """Re-anchor trajectory entries referencing keyframes the mapper
+        just culled (to the culled KF's spanning-tree parent; reference
+        export walks the tree instead, src/System.cc:377-384)."""
+        for c, parent, Tcp in self.local_mapper.culled_log:
+            self.tracker.remap_trajectory_ref(c, parent, Tcp)
+        self.local_mapper.culled_log.clear()
 
     def flush(self):
         """Resolve any in-flight pipelined frame (host pull + bookkeeping)
@@ -444,6 +453,7 @@ class System:
         reloc_db = self.loop_closer.db if self.loop_closer is not None else None
         res = self.tracker.process(frame, reloc_db=reloc_db)
         self.map = self.tracker.map
+        self._drain_culls()
         n_kf_ev = self.log.counts().get("keyframe", 0)
         self._handle_kf_request()
         self.results.append(res)
@@ -529,6 +539,7 @@ class System:
             state, kf_id, new_pids_np, keep_np,
             cull_ids=cull_ids_np, cull_red=cull_red_np,
         )
+        self._drain_culls()
         self.log.emit("keyframe", kf_id=kf_id, frame_id=int(frame.frame_id),
                       n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
         loop_fired = False

@@ -858,3 +858,15 @@ class Tracker:
         else:
             Tcr = T
         self.trajectory.append((frame.timestamp, Tcr, self.ref_kf, tracked))
+
+    def remap_trajectory_ref(self, old_ref: int, new_ref: int, Tcp: np.ndarray):
+        """Re-anchor logged frames from a CULLED keyframe to its spanning-
+        tree parent: Tcw = Tcr @ Tcw[culled] = (Tcr @ Tcp) @ Tcw[parent].
+        The reference instead stores mTcp on SetBadFlag and walks up the
+        tree at export time (src/KeyFrame.cc:552-556, src/System.cc:
+        377-384); folding the relative pose in at cull time is equivalent
+        and keeps the export loop trivial."""
+        self.trajectory = [
+            (t, Tcr @ Tcp, new_ref, ok) if ref == old_ref else (t, Tcr, ref, ok)
+            for (t, Tcr, ref, ok) in self.trajectory
+        ]

@@ -189,3 +189,33 @@ def test_nondefault_pyramid_tracks():
     from orbslam2_tpu.utils.evaluation import ate_rmse
 
     assert ate_rmse(poses, seq.poses, align=True) < 0.03
+
+
+def test_culled_ref_trajectory_reanchor():
+    """Frames logged against a culled keyframe re-anchor to its parent so
+    later pose corrections still reach the exported trajectory (reference
+    walks the spanning tree at export, src/System.cc:377-384)."""
+    import numpy as np
+
+    from orbslam2_tpu.config import SlamConfig
+    from orbslam2_tpu.pipeline.frame import FrameBuilder
+    from orbslam2_tpu.pipeline.tracking import Tracker
+    from orbslam2_tpu.slam_map import map_state as ms
+
+    cfg = SlamConfig()
+    builder = FrameBuilder(cfg)
+    m = ms.allocate(cfg.map, cfg.orb)
+    t = Tracker(cfg, builder, m)
+    Tcr = np.eye(4); Tcr[0, 3] = 1.0          # frame 1m ahead of ref
+    t.trajectory = [(0.0, Tcr.copy(), 5, True), (1.0, np.eye(4), 2, True)]
+    Tcp = np.eye(4); Tcp[2, 3] = 3.0          # culled kf 3m from parent
+    t.remap_trajectory_ref(5, 2, Tcp)
+    assert t.trajectory[0][2] == 2            # re-anchored
+    assert t.trajectory[1][2] == 2            # untouched entry keeps ref
+    np.testing.assert_allclose(t.trajectory[0][1], Tcr @ Tcp)
+    np.testing.assert_allclose(t.trajectory[1][1], np.eye(4))
+    # a later correction of the PARENT's pose now reaches the culled-ref
+    # frame: Tcw_frame = (Tcr @ Tcp) @ Tcw[parent]
+    Tparent = np.eye(4); Tparent[1, 3] = -2.0
+    expected = Tcr @ Tcp @ Tparent
+    np.testing.assert_allclose(t.trajectory[0][1] @ Tparent, expected)
