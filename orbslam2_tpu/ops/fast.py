@@ -68,22 +68,41 @@ def fast_score_map(image: jnp.ndarray, threshold: jnp.ndarray) -> tuple[jnp.ndar
     Returns:
       (is_corner [H, W] bool, score [H, W] float32).
     """
+    corner, _, score = fast_score_map2(image, threshold, threshold)
+    return corner, score
+
+
+@partial(jax.jit, static_argnames=())
+def fast_score_map2(
+    image: jnp.ndarray, th_lo: jnp.ndarray, th_hi: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense FAST response at TWO thresholds sharing one ring-diff pass.
+
+    The ring stack and diffs dominate the per-pixel cost; the reference's
+    retry threshold (src/ORBextractor.cc:853-861) needs corner masks at both
+    the high and low threshold, so compute both from the same diffs.
+
+    Returns (corner_lo [H, W] bool, corner_hi [H, W] bool,
+    score [H, W] float32 at th_lo).
+    """
     ring = _ring_stack(image)          # [16, H, W]
     center = image[None]
     diff = ring - center               # [16, H, W]
-    brighter = diff > threshold
-    darker = diff < -threshold
-
     weights = (1 << jnp.arange(16, dtype=jnp.int32))[:, None, None]
-    b_bits = jnp.sum(jnp.where(brighter, weights, 0), axis=0)
-    d_bits = jnp.sum(jnp.where(darker, weights, 0), axis=0)
-    corner = _has_arc(b_bits) | _has_arc(d_bits)
+
+    def corner_at(th):
+        b_bits = jnp.sum(jnp.where(diff > th, weights, 0), axis=0)
+        d_bits = jnp.sum(jnp.where(diff < -th, weights, 0), axis=0)
+        return _has_arc(b_bits) | _has_arc(d_bits)
+
+    corner_lo = corner_at(th_lo)
+    corner_hi = corner_at(th_hi)
 
     # corner strength: total thresholded excursion of the stronger polarity
-    b_score = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
-    d_score = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    b_score = jnp.sum(jnp.maximum(diff - th_lo, 0.0), axis=0)
+    d_score = jnp.sum(jnp.maximum(-diff - th_lo, 0.0), axis=0)
     score = jnp.maximum(b_score, d_score)
-    return corner, score
+    return corner_lo, corner_hi, score
 
 
 def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -116,8 +135,9 @@ def detect(
     corners so selection can prefer them (reference's retry semantics,
     src/ORBextractor.cc:853-861).
     """
-    corner_lo, score = fast_score_map(image, jnp.float32(min_threshold))
-    corner_hi, _ = fast_score_map(image, jnp.float32(ini_threshold))
+    corner_lo, corner_hi, score = fast_score_map2(
+        image, jnp.float32(min_threshold), jnp.float32(ini_threshold)
+    )
 
     H, W = image.shape
     ys = jnp.arange(H)[:, None]

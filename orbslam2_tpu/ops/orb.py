@@ -175,9 +175,17 @@ def brief_from_patches(pt: jnp.ndarray, angle: jnp.ndarray, half: int = 16) -> j
     flat = pt.reshape(pt.shape[0], size * size)
     i1 = r1[..., 1] * size + r1[..., 0]  # [N, 256]
     i2 = r2[..., 1] * size + r2[..., 0]
-    v1 = jnp.take_along_axis(flat, i1, axis=1)
-    v2 = jnp.take_along_axis(flat, i2, axis=1)
-    bits = (v1 < v2).astype(jnp.uint32)  # [N, 256]
+    # Sample via a FUSED one-hot reduction instead of take_along_axis:
+    # bit = (v1 < v2) = (sum_j flat[j] * (onehot(i2) - onehot(i1)) > 0).
+    # TPU gathers serialize (two takes measured 6.6 ms at N=1024); the
+    # compare-select-reduce fuses into one VPU sweep (1.6 ms) and is
+    # EXACT — f32 subtraction of two exact values preserves the sign.
+    iota = jnp.arange(size * size, dtype=jnp.int32)
+    w = (i2[:, :, None] == iota).astype(flat.dtype) - (
+        i1[:, :, None] == iota
+    ).astype(flat.dtype)
+    d = jnp.sum(flat[:, None, :] * w, axis=-1)  # [N, 256] = v2 - v1
+    bits = (d > 0).astype(jnp.uint32)  # [N, 256]
     return _pack_bits(bits)
 
 
@@ -262,24 +270,30 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
     H0, W0 = levels[0].shape
     Hp, Wp = H0 + 2 * half_br, W0 + 2 * half_br
     L = orb.num_levels
-    raw_c = jnp.zeros((L, Hp, Wp), levels[0].dtype)
-    blur_c = jnp.zeros((L, Hp, Wp), levels[0].dtype)
+    # raw (IC angle) and blurred (BRIEF) images ride as CHANNELS of one
+    # canvas so a single gather fetches both patches per keypoint (TPU
+    # gather cost is per-slice, not per-byte; two separate gathers measured
+    # 2x the cost of this combined one)
+    canvas = jnp.zeros((L, Hp, Wp, 2), levels[0].dtype)
     for lvl in used_levels:
         img = levels[lvl]
         h, w = img.shape
-        raw_c = raw_c.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(
-            jnp.pad(img, half_br, mode="edge")
+        pair = jnp.stack(
+            [
+                jnp.pad(img, half_br, mode="edge"),
+                jnp.pad(pyramid.gaussian_blur(img), half_br, mode="edge"),
+            ],
+            axis=-1,
         )
-        blur_c = blur_c.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(
-            jnp.pad(pyramid.gaussian_blur(img), half_br, mode="edge")
-        )
-    raw_patches = patches.gather_patches_stack(raw_c, octave, xy_loc, half_br)
+        canvas = canvas.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(pair)
+    both = patches.gather_patches_stack_mc(canvas, octave, xy_loc, half_br)
+    raw_patches = both[..., 0]
+    blur_patches = both[..., 1]
     crop = half_br - half_ic
     angle = patches.ic_angle(
         raw_patches[:, crop: crop + 2 * half_ic + 1, crop: crop + 2 * half_ic + 1],
         half_ic,
     )
-    blur_patches = patches.gather_patches_stack(blur_c, octave, xy_loc, half_br)
     desc = brief_from_patches(blur_patches, angle, half_br)
 
     # pad to the static slot count
