@@ -121,6 +121,47 @@ def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
     return score >= jnp.max(neigh, axis=0)
 
 
+def detect_stack(
+    images: jnp.ndarray,
+    shapes: tuple,
+    ini_threshold: float,
+    min_threshold: float,
+    border: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched `detect` over a stack of pyramid levels sharing one canvas.
+
+    `images` is [L, Hc, Wc] with each level's pixels placed at the origin
+    and zeros elsewhere; `shapes` is the static per-level (H, W). One
+    batched VPU chain replaces L sequential per-level FAST programs — on a
+    remote-dispatch TPU the sequential chains dominated extraction.
+
+    Exact vs the per-level path: FAST reads at most 3 px around a pixel and
+    NMS 1 px, while the border mask keeps every survivor >= `border`
+    (>= 19) px inside its own level, so the zero canvas padding beyond a
+    level's true extent is never read by any kept corner.
+    """
+    corner_lo, corner_hi, score = jax.vmap(
+        lambda im: fast_score_map2(
+            im, jnp.float32(min_threshold), jnp.float32(ini_threshold)
+        )
+    )(images)
+    Hc, Wc = images.shape[1], images.shape[2]
+    ys = jnp.arange(Hc)[None, :, None]
+    xs = jnp.arange(Wc)[None, None, :]
+    hs = jnp.asarray([h for h, _ in shapes], jnp.int32)[:, None, None]
+    ws = jnp.asarray([w for _, w in shapes], jnp.int32)[:, None, None]
+    in_border = (
+        (ys >= border) & (ys < hs - border) & (xs >= border) & (xs < ws - border)
+    )
+    keep = (
+        corner_lo
+        & in_border
+        & jax.vmap(nms_3x3)(jnp.where(corner_lo, score, -jnp.inf))
+    )
+    score = jnp.where(keep, score, -jnp.inf)
+    return score, corner_hi & keep
+
+
 def detect(
     image: jnp.ndarray,
     ini_threshold: float,

@@ -83,12 +83,19 @@ class FrameFeatures(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _scan_depth(n_keep: int, n_cells: int, cell_size: int) -> int:
+    """Per-cell scan depth R: covers the budget even if only half the
+    cells contain corners (see select_uniform)."""
+    return int(min(max(2, 2 * -(-n_keep // max(n_cells, 1)) + 1), cell_size * cell_size))
+
+
 def select_uniform(
     score: jnp.ndarray,
     strong: jnp.ndarray,
     n_keep: int,
     n_candidates: int,
     cell_size: int,
+    n_scan: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pick `n_keep` spatially-uniform keypoints from a dense score map.
 
@@ -118,7 +125,7 @@ def select_uniform(
     # sorts ~300k elements per level (slow on TPU); R max-pool passes over
     # the cell tiles are pure VPU reductions. R covers the budget even if
     # only half the cells contain corners.
-    R = int(min(max(2, 2 * -(-n_keep // max(n_cells, 1)) + 1), cell_size * cell_size))
+    R = n_scan if n_scan is not None else _scan_depth(n_keep, n_cells, cell_size)
     rows = jnp.arange(n_cells)
     prios, within = [], []
     for _ in range(R):
@@ -230,27 +237,78 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
     levels = pyramid.build_pyramid(image, orb)
     budgets = pyramid.feature_budgets(orb)
     scales = pyramid.level_scales(orb)
+    L = orb.num_levels
+    shapes = [lv.shape for lv in levels]
 
-    # stage 1: per-level detection + spatially-uniform selection (shapes
-    # differ per level, so this loop cannot batch)
+    # stage 1: FAST detection + spatially-uniform selection. Level 0 runs
+    # at native resolution; levels 1..L-1 are stacked on a shared
+    # level-1-sized canvas so their FAST + per-cell selection run as ONE
+    # batched chain instead of L-1 sequential small programs (the
+    # sequential per-level chains were ~half of extraction latency on a
+    # remote-dispatch TPU). The canvas wastes ~2.3x pixels in VPU compute
+    # but the batched chain amortizes every kernel launch across levels.
     xs_loc, xs, resps, octaves, valids = [], [], [], [], []
-    used_levels = []
-    for lvl in range(orb.num_levels):
-        img = levels[lvl]
-        n_l = budgets[lvl]
-        if n_l == 0:
-            continue
-        cand = min(orb.candidates_per_level, img.shape[0] * img.shape[1])
-        score, strong = fast.detect(
-            img, orb.ini_th_fast, orb.min_th_fast, orb.edge_threshold
+    if budgets[0] > 0:
+        score0, strong0 = fast.detect(
+            levels[0], orb.ini_th_fast, orb.min_th_fast, orb.edge_threshold
         )
-        xy, resp, valid = select_uniform(score, strong, n_l, cand, orb.cell_size)
-        xs_loc.append(xy)
-        xs.append(xy * scales[lvl])
-        resps.append(resp)
-        octaves.append(jnp.full((n_l,), lvl, jnp.int32))
-        valids.append(valid)
-        used_levels.append(lvl)
+        xy0, resp0, valid0 = select_uniform(
+            score0, strong0, budgets[0], orb.candidates_per_level, orb.cell_size
+        )
+        xs_loc.append(xy0)
+        xs.append(xy0 * scales[0])
+        resps.append(resp0)
+        octaves.append(jnp.full((budgets[0],), 0, jnp.int32))
+        valids.append(valid0)
+
+    hi_levels = [lvl for lvl in range(1, L) if budgets[lvl] > 0]
+    stack = None
+    if L > 1:
+        H1, W1 = shapes[1]
+        stack = jnp.stack(
+            [
+                jnp.pad(
+                    levels[lvl],
+                    ((0, H1 - shapes[lvl][0]), (0, W1 - shapes[lvl][1])),
+                )
+                for lvl in range(1, L)
+            ]
+        )
+    if hi_levels:
+        sub = [lvl - 1 for lvl in hi_levels]
+        scoreS, strongS = fast.detect_stack(
+            stack[jnp.asarray(sub)] if len(sub) < L - 1 else stack,
+            tuple(shapes[lvl] for lvl in hi_levels),
+            orb.ini_th_fast, orb.min_th_fast, orb.edge_threshold,
+        )
+        # uniform scan depth/top-k across the batch: take the max of each
+        # level's requirement computed from its REAL cell count (the canvas
+        # has more, permanently-empty, cells than a small level)
+        def cells_of(shape):
+            ncy = (shape[0] + orb.cell_size - 1) // orb.cell_size
+            ncx = (shape[1] + orb.cell_size - 1) // orb.cell_size
+            return ncy * ncx
+
+        R = max(
+            _scan_depth(budgets[lvl], cells_of(shapes[lvl]), orb.cell_size)
+            for lvl in hi_levels
+        )
+        kmax = max(budgets[lvl] for lvl in hi_levels)
+        xyS, respS, validS = jax.vmap(
+            lambda s, st: select_uniform(
+                s, st, kmax, orb.candidates_per_level, orb.cell_size, n_scan=R
+            )
+        )(scoreS, strongS)
+        # per-level slices: select_uniform returns entries sorted by
+        # (cell-rank, -priority), so the first budget[lvl] rows are exactly
+        # what a per-level top-k of that size would return
+        for i, lvl in enumerate(hi_levels):
+            b = budgets[lvl]
+            xs_loc.append(xyS[i, :b])
+            xs.append(xyS[i, :b] * scales[lvl])
+            resps.append(respS[i, :b])
+            octaves.append(jnp.full((b,), lvl, jnp.int32))
+            valids.append(validS[i, :b])
 
     xy_loc = jnp.concatenate(xs_loc, axis=0)
     xy = jnp.concatenate(xs, axis=0)
@@ -269,23 +327,33 @@ def extract(image: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
     half_br = 16                      # 33x33 BRIEF sampling window
     H0, W0 = levels[0].shape
     Hp, Wp = H0 + 2 * half_br, W0 + 2 * half_br
-    L = orb.num_levels
     # raw (IC angle) and blurred (BRIEF) images ride as CHANNELS of one
     # canvas so a single gather fetches both patches per keypoint (TPU
     # gather cost is per-slice, not per-byte; two separate gathers measured
-    # 2x the cost of this combined one)
-    canvas = jnp.zeros((L, Hp, Wp, 2), levels[0].dtype)
-    for lvl in used_levels:
-        img = levels[lvl]
-        h, w = img.shape
-        pair = jnp.stack(
-            [
-                jnp.pad(img, half_br, mode="edge"),
-                jnp.pad(pyramid.gaussian_blur(img), half_br, mode="edge"),
-            ],
-            axis=-1,
+    # 2x the cost of this combined one). The blur for levels 1..L-1 runs
+    # batched on the detection stack; the 16-px canvas margin is zeros
+    # (never read: keypoints sit >= edge_threshold=19 px inside their
+    # level, BRIEF samples <= 13 px from the keypoint, the blur reads
+    # <= 3 px around a sample, and the IC window <= half_patch=15 px).
+    pair0 = jnp.pad(
+        jnp.stack([levels[0], pyramid.gaussian_blur(levels[0])], axis=-1),
+        ((half_br, half_br), (half_br, half_br), (0, 0)),
+    )
+    if L > 1:
+        H1, W1 = shapes[1]
+        blurS = jax.vmap(pyramid.gaussian_blur)(stack)
+        pairS = jnp.pad(
+            jnp.stack([stack, blurS], axis=-1),
+            (
+                (0, 0),
+                (half_br, Hp - half_br - H1),
+                (half_br, Wp - half_br - W1),
+                (0, 0),
+            ),
         )
-        canvas = canvas.at[lvl, : h + 2 * half_br, : w + 2 * half_br].set(pair)
+        canvas = jnp.concatenate([pair0[None], pairS], axis=0)
+    else:
+        canvas = pair0[None]
     both = patches.gather_patches_stack_mc(canvas, octave, xy_loc, half_br)
     raw_patches = both[..., 0]
     blur_patches = both[..., 1]
