@@ -43,9 +43,10 @@ def main():
         camera=CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5, bf=48.0, fps=30.0),
         orb=OrbConfig(num_features=1000, feature_slots=1024),
         map=MapConfig(max_keyframes=64, max_points=16384, max_local_points=4096),
-        # pipeline_depth=1: overlap each frame's host pull with the next
-        # frame's device compute (the relay costs ~40 ms per round trip)
-        tracking=TrackingConfig(th_depth=40.0, pipeline_depth=1),
+        # pipeline_depth=2: each frame's host pull gets a FULL frame of
+        # slack behind two in-flight dispatches, so the ~40 ms relay round
+        # trip is fully hidden (depth=1 left a ~7 ms residual per frame)
+        tracking=TrackingConfig(th_depth=40.0, pipeline_depth=2),
         # local-BA problem size: measured on the v5e, per-iteration cost is
         # ~linear in capped points x iterations and flat in cameras; 2048
         # points + 4+5 iterations track the same ATE at ~half the BA cost

@@ -119,11 +119,13 @@ class TrackingConfig:
     # damp insertion rate in the synchronous pipeline)
     kf_min_gap: int = 0
     # pipelined tracking: 0 = resolve each frame's host pull immediately
-    # (exact reference-order semantics; the default for tests); 1 = defer
-    # the pull one frame so the ~40 ms relay round trip overlaps the next
-    # frame's device compute (throughput ~2x on remote-dispatch TPU;
-    # keyframe bookkeeping/loop closing run one frame late, like the
-    # reference's asynchronous LocalMapping/LoopClosing threads)
+    # (exact reference-order semantics; the default for tests); N >= 1 =
+    # keep up to N frames in flight and defer each pull N frames, so the
+    # ~40 ms relay round trip overlaps device compute (throughput ~2x at
+    # depth 1; depth 2 gives the async host copy a FULL frame of slack and
+    # removes the residual sync too). Keyframe bookkeeping/loop closing run
+    # N frames late, like the reference's asynchronous
+    # LocalMapping/LoopClosing threads.
     pipeline_depth: int = 0
     # Hamming gate for motion-model / local-map projection searches. The
     # reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) tuned to its

@@ -79,11 +79,14 @@ class System:
         self.loop_closer = None
         self._loop_key = None
         self._dummy_b = None
-        # pipelined tracking (cfg.tracking.pipeline_depth >= 1): the
-        # in-flight frame record whose host pull is deferred, plus the
+        # pipelined tracking (cfg.tracking.pipeline_depth >= 1): FIFO of
+        # in-flight frame records whose host pulls are deferred, plus the
         # device-side anchor scalars (has_velocity / ref_kf /
-        # frames_since_kf) selected by the previous frame's program
-        self._pending = None
+        # frames_since_kf) selected by the previous frame's program.
+        # Depth 1 overlaps each pull with one frame of device compute;
+        # depth 2 gives the pull a FULL frame of slack, so by resolve time
+        # the async host copy has already landed and the get is free.
+        self._pending: list[_TurboRec] = []
         self._anchor = None
         self._in_resolve = False
 
@@ -133,23 +136,24 @@ class System:
             and self.tracker.n_keyframes >= 1
         )
         if not pipelined:
-            if self._pending is not None:  # draining out of pipelined mode
-                prev, self._pending = self._pending, None
+            while self._pending:  # draining out of pipelined mode
+                prev = self._pending.pop(0)
                 if self._turbo_resolve(prev):
                     self._anchor = None
-                    return self._reprocess(rec)
+                    return self._reprocess_stale(rec)
             self._turbo_resolve(rec)
             return self.results[-1].Tcw
-        prev, self._pending = self._pending, rec
-        if prev is not None and self._turbo_resolve(prev):
-            # the in-flight frame was dispatched against anchors that an
-            # event (LOST / auto-reset / loop correction) just
-            # invalidated: drop its device result and reprocess the raw
-            # inputs on the exact path (the reference pays the same
-            # re-track when its asynchronous loop correction lands)
-            rec, self._pending = self._pending, None
-            self._anchor = None
-            return self._reprocess(rec)
+        self._pending.append(rec)
+        while len(self._pending) > self.cfg.tracking.pipeline_depth:
+            prev = self._pending.pop(0)
+            if self._turbo_resolve(prev):
+                # every in-flight frame was dispatched against anchors that
+                # an event (LOST / auto-reset / loop correction) just
+                # invalidated: drop their device results and reprocess the
+                # raw inputs on the exact path (the reference pays the same
+                # re-track when its asynchronous loop correction lands)
+                self._anchor = None
+                return self._reprocess_stale()
         # lazy device handle: converting to numpy synchronizes, so callers
         # that ignore the per-frame pose never pay the round trip
         return rec.res.track.Tcw
@@ -159,6 +163,18 @@ class System:
         if self.tracker.state == TrackState.OK:
             return self._track_turbo(sensor, a, b, timestamp)
         return self._track(self._build_frame(sensor, a, b, timestamp))
+
+    def _reprocess_stale(self, extra=None):
+        """Reprocess every dropped in-flight frame in dispatch order (their
+        device results were computed against now-invalid anchors)."""
+        stale = self._pending
+        self._pending = []
+        if extra is not None:
+            stale = stale + [extra]
+        out = None
+        for s in stale:
+            out = self._reprocess(s)
+        return out
 
     def _build_frame(self, sensor: str, a, b, timestamp: float) -> FrameData:
         if sensor == "rgbd":
@@ -365,9 +381,14 @@ class System:
         """Resolve any in-flight pipelined frame (host pull + bookkeeping)
         and any pending loop detection. Called automatically by every
         introspection/export entry point."""
-        if self._pending is not None:
-            rec, self._pending = self._pending, None
-            self._turbo_resolve(rec)
+        while self._pending:
+            rec = self._pending.pop(0)
+            if self._turbo_resolve(rec):
+                # an event invalidated the remaining in-flight frames;
+                # reprocess their raw inputs (this may enqueue fresh
+                # dispatches, which the loop then drains too)
+                self._anchor = None
+                self._reprocess_stale()
         if (
             self.loop_closer is not None
             and self.loop_closer._pending_detect is not None
@@ -588,7 +609,10 @@ class System:
         if not self._in_resolve:
             self.flush()
         self.log.emit("reset", n_keyframes=self.tracker.n_keyframes)
-        self._pending = None
+        # do NOT clear self._pending here: when auto-reset fires from inside
+        # _turbo_resolve, the caller reprocesses the still-queued in-flight
+        # frames (dropping them would lose those frames' trajectory entries);
+        # on an external reset, flush() above already drained the queue.
         self._anchor = None
         old_traj = self.tracker.trajectory
         self.map = ms.allocate(self.cfg.map, self.cfg.orb)
