@@ -161,7 +161,8 @@ def main():
             "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in results.items()},
             "strong_scaling_efficiency": eff,
             "pose_graph": {
-                "problem": f"K={Kv}, E={E}, dense 7Kx7K solve replicated",
+                "problem": f"K={Kv}, E={E}, matrix-free block-Jacobi PCG"
+                           " (cg_iters=64), edge-sharded",
                 "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in pg_results.items()},
                 "strong_scaling_efficiency": pg_eff,
             },

@@ -161,6 +161,11 @@ class SolverConfig:
     global_ba_iters: int = 10
     # essential graph: 20 iterations (reference src/Optimizer.cc:916)
     pose_graph_iters: int = 20
+    # essential-graph inner solver: dense direct solve up to this keyframe
+    # capacity (small (7K)^3 is MXU-fast), matrix-free block-Jacobi PCG
+    # above it (O(E * cg_iters), the scalable path)
+    pose_graph_dense_max_k: int = 128
+    pose_graph_cg_iters: int = 64
     # robust kernel thresholds: chi2 95% for 2 and 3 dof
     # (reference src/Optimizer.cc:273-274)
     chi2_mono: float = 5.991
@@ -195,6 +200,12 @@ class VocabConfig:
     max_candidates: int = 16
     # covisibility consistency threshold (reference src/LoopClosing.cc:43)
     covisibility_consistency_th: int = 3
+    # exclude the newest N keyframes from loop candidacy. The reference
+    # relies on covisibility exclusion alone (src/KeyFrameDatabase.cc:96-115);
+    # the session-trained vocabulary is weaker than DBoW2's offline tree, so
+    # temporally-adjacent keyframes that fell just below the covisibility
+    # threshold need an explicit guard
+    recent_exclusion: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

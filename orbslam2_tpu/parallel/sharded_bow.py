@@ -51,16 +51,36 @@ def sharded_query(
         ok_l = present_l & ~excl_l & (scores_l >= min_s)
         scores_ok_l = jnp.where(ok_l, scores_l, 0.0)
         # K floats across the mesh: the only collectives in the query
-        scores_ok = jax.lax.all_gather(scores_ok_l, "kfs", tiled=True)
         ok = jax.lax.all_gather(ok_l, "kfs", tiled=True)
         scores = jax.lax.all_gather(scores_l, "kfs", tiled=True)
-        covis_pos_l = (covis_l > 0).astype(jnp.float32)  # [K/n, K] row block
-        acc_l = scores_ok_l + covis_pos_l @ scores_ok
+        K = scores.shape[0]
+        L = covis_l.shape[0]
+        # top-10 covisibility group per LOCAL row (reference accScore over
+        # GetBestCovisibilityKeyFrames(10), src/KeyFrameDatabase.cc:170-196)
+        ng = min(10, K)
+        top_w, top_idx = jax.lax.top_k(covis_l, ng)  # [K/n, ng]
+        neigh_ok = ok[top_idx] & (top_w > 0)
+        neigh_scores = jnp.where(neigh_ok, scores[top_idx], 0.0)
+        acc_l = scores_ok_l + neigh_scores.sum(-1)
+        # group representative = best-scoring member (reference pBestKF)
+        best_n = jnp.argmax(neigh_scores, axis=-1)
+        best_n_score = jnp.take_along_axis(neigh_scores, best_n[:, None], 1)[:, 0]
+        rows_g = jax.lax.axis_index("kfs") * L + jnp.arange(L)
+        rep_l = jnp.where(
+            best_n_score > scores_ok_l, top_idx[jnp.arange(L), best_n], rows_g
+        )
         acc = jax.lax.all_gather(acc_l, "kfs", tiled=True)
+        rep = jax.lax.all_gather(rep_l, "kfs", tiled=True)
         acc = jnp.where(ok, acc, -1.0)
         best = jnp.max(acc)
-        admit = ok & (acc >= 0.75 * best) & (best > 0)
-        order = jnp.argsort(jnp.where(admit, -acc, jnp.inf))
+        admit_group = ok & (acc >= 0.75 * best) & (best > 0)
+        rep_w = jnp.where(admit_group, rep, K)
+        rep_acc = (
+            jnp.full((K + 1,), -jnp.inf)
+            .at[rep_w].max(jnp.where(admit_group, acc, -jnp.inf))[:K]
+        )
+        admit = rep_acc > -jnp.inf
+        order = jnp.argsort(jnp.where(admit, -rep_acc, jnp.inf))
         cand = order[:max_candidates]
         return cand.astype(jnp.int32), admit[cand], scores
 

@@ -2,22 +2,24 @@
 
 The essential-graph optimization (reference src/Optimizer.cc:773-1039) is
 edge-dominated: each Gauss-Newton iteration evaluates a residual and two
-7x7 Jacobian blocks per edge, then solves one dense [7K, 7K] system. For
-KITTI-length trajectories (K >= 1024, E in the thousands) the edge work is
-the scalable axis:
+7x7 Jacobian blocks per edge. For KITTI-length trajectories (K >= 1024,
+E in the thousands) the edge work is the scalable axis:
 
 * EDGES are sharded across the mesh's ``edges`` axis — each device runs
-  the forward-mode Jacobian sweep and assembles a partial [K,K,7,7]
-  normal-equation system for its slice only;
-* the system and rhs are `psum`-reduced over ICI (one collective per
-  iteration);
-* damping + the dense solve + the vertex update run replicated (the solve
-  is O(K^3) but identical on every device — cheaper than scattering a
-  factorization for essential-graph K).
+  the forward-mode Jacobian sweep over its slice only and keeps the
+  per-edge blocks LOCAL;
+* the inner solve is matrix-free block-Jacobi PCG
+  (solvers/pose_graph.pcg_solve): each CG step does the Hessian-vector
+  product on the local edge slice and `psum`s a single [K, 7] vector —
+  the round-2 design psum'd a dense [K,K,7,7] system (49 K^2 floats) and
+  then solved (7K)^3 REPLICATED, which anti-scaled 1 -> 8 devices
+  (SCALING_r02: 626 -> 5203 ms/iter); the collective here is 7K floats;
+* the [K,7,7] diagonal blocks + gradient are psum'd once per GN iteration
+  to build the preconditioner (replicated, O(K*49) — tiny).
 
 Same jitted step on 1 device or N (SURVEY.md §4 mesh-parametrized
-testing); matches `solvers/pose_graph.optimize_pose_graph` bit-for-bit on
-a 1-device mesh and numerically on any mesh (psum reorders additions).
+testing); matches `solvers/pose_graph.optimize_pose_graph_pcg` bit-for-bit
+on a 1-device mesh and numerically on any mesh (psum reorders additions).
 """
 
 from __future__ import annotations
@@ -32,13 +34,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from orbslam2_tpu.solvers import pose_graph as pg
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters"))
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters"))
 def sharded_optimize_pose_graph(
-    prob: pg.PoseGraphProblem, mesh: Mesh, iters: int = 20
+    prob: pg.PoseGraphProblem, mesh: Mesh, iters: int = 20, cg_iters: int = 64
 ) -> jnp.ndarray:
-    """Edge-sharded pose-graph GN. `prob.edge_*` arrays must have length a
-    multiple of the mesh size (pad with edge_valid=False rows). Returns
-    optimized packed sim3 vertices [K, 8] (replicated)."""
+    """Edge-sharded pose-graph GN with a matrix-free PCG inner solve.
+    `prob.edge_*` arrays must have length a multiple of the mesh size (pad
+    with edge_valid=False rows). Returns optimized packed sim3 vertices
+    [K, 8] (replicated)."""
     K = prob.vertices.shape[0]
     espec = P("edges")
 
@@ -50,12 +53,23 @@ def sharded_optimize_pose_graph(
         check_vma=False,
     )
     def run(verts0, vfixed, vvalid, ei, ej, emeas, evalid, eweight):
+        free = vvalid & ~vfixed
+        Ai, Aj = pg.incidence_onehot(ei, ej, K)  # local edge slice
+
         def gn_iter(verts, _):
-            H, g = pg.edge_system(verts, ei, ej, emeas, evalid, eweight, vfixed, K)
-            H = jax.lax.psum(H, "edges")
+            rw, Ji, Jj = pg.edge_jacobians(
+                verts, ei, ej, emeas, evalid, eweight, vfixed
+            )
+            D, g = pg.assemble_diag_g(Ji, Jj, Ai, Aj, rw)
+            # [K,7,7] + [K,7] once per GN iteration (preconditioner + rhs)
+            D = jax.lax.psum(D, "edges")
             g = jax.lax.psum(g, "edges")
-            free = vvalid & ~vfixed
-            dx = pg.damp_and_solve(H, g, free)
+            # each CG step psums one [K,7] vector (the Hessian-vector
+            # product over the local edge slice)
+            dx = pg.pcg_solve(
+                Ji, Jj, ei, ej, Ai, Aj, D, g, free, cg_iters,
+                reduce_fn=lambda y: jax.lax.psum(y, "edges"),
+            )
             return pg.apply_update(verts, dx), None
 
         verts, _ = jax.lax.scan(gn_iter, verts0, None, length=iters)

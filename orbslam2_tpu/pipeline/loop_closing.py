@@ -295,7 +295,8 @@ def build_essential_edges(
     return ei, ej, meas, evalid, n_total
 
 
-@partial(jax.jit, static_argnames=("covis_threshold", "max_candidates"))
+@partial(jax.jit, static_argnames=("covis_threshold", "max_candidates",
+                                   "recent_exclusion"))
 def _detect_candidates(
     state: ms.MapState,
     vectors,
@@ -303,6 +304,7 @@ def _detect_candidates(
     kf_id,
     covis_threshold: int = 15,
     max_candidates: int = 8,
+    recent_exclusion: int = 8,
 ):
     """Device side of DetectLoop: min-score from covisibles, exclusion of
     covisibles/recents, DB query, and the candidates' covisibility rows
@@ -320,7 +322,7 @@ def _detect_candidates(
         0.05,
     )
     idx = jnp.arange(Kcap)
-    exclude = covisible | (idx == kf_id) | (idx > kf_id - 8)
+    exclude = covisible | (idx == kf_id) | (idx > kf_id - recent_exclusion)
     cand, mask, _ = _query(
         vectors, present, vec, exclude, jnp.maximum(min_score, 0.01),
         state.covis, max_candidates,
@@ -386,10 +388,16 @@ def replace_points(state: ms.MapState, old_ids, new_ids, mask):
 
 
 class LoopCloser:
-    def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics, codebook: jnp.ndarray):
+    def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics,
+                 codebook: jnp.ndarray, log=None):
         self.cfg = cfg
         self.K = K
         self.codebook = codebook
+        # EventLog for truncation warnings (None -> silent counters only)
+        self.log = log
+        # essential-graph edge capacity; escalates (power-of-2 recompile
+        # buckets) whenever a correction would truncate edges
+        self._edge_cap = max(4 * cfg.map.max_keyframes, 512)
         self.db = KeyFrameDatabase(codebook, cfg.map.max_keyframes)
         nl = cfg.orb.num_levels
         sf = cfg.orb.scale_factor
@@ -464,6 +472,7 @@ class LoopCloser:
                     state, rows, present, jnp.int32(Kcap - 1),
                     covis_threshold=self.cfg.map.covis_threshold,
                     max_candidates=int(self.cfg.vocab.max_candidates),
+                    recent_exclusion=int(self.cfg.vocab.recent_exclusion),
                 )
             if v * 4 > self.cfg.vocab.vocab_size:
                 break
@@ -507,6 +516,7 @@ class LoopCloser:
             state, self.db.vectors, self.db.present, jnp.int32(kf_id),
             covis_threshold=self.cfg.map.covis_threshold,
             max_candidates=int(self.cfg.vocab.max_candidates),
+            recent_exclusion=int(self.cfg.vocab.recent_exclusion),
         )
         try:
             for h in handles:
@@ -546,6 +556,7 @@ class LoopCloser:
             state, self.db.vectors, self.db.present, jnp.int32(kf_id),
             covis_threshold=self.cfg.map.covis_threshold,
             max_candidates=int(self.cfg.vocab.max_candidates),
+            recent_exclusion=int(self.cfg.vocab.recent_exclusion),
         )
         return self._group_candidates(state, kf_id, handles)
 
@@ -716,16 +727,25 @@ class LoopCloser:
             vert = vert.at[k].set(pk)
 
         # ---- essential-graph edges: one device program (round 1 did this
-        # with a host O(K^2) loop + one dispatch per edge) ----
-        max_edges = max(4 * Kcap, 512)
-        ei, ej, meas, evalid, n_total = build_essential_edges(
-            state,
-            essential_threshold=self.cfg.map.essential_threshold,
-            max_edges=max_edges,
-        )
-        n_total = int(n_total)
-        if n_total > max_edges:
-            self.edge_truncations += n_total - max_edges
+        # with a host O(K^2) loop + one dispatch per edge). If the graph
+        # outgrew the capacity bucket, ESCALATE (double the bucket and
+        # rebuild) rather than silently dropping edges; corrections are
+        # rare, so the occasional recompile is cheap insurance ----
+        while True:
+            ei, ej, meas, evalid, n_total = build_essential_edges(
+                state,
+                essential_threshold=self.cfg.map.essential_threshold,
+                max_edges=self._edge_cap,
+            )
+            n_total = int(n_total)
+            if n_total <= self._edge_cap or self._edge_cap >= Kcap * Kcap:
+                break
+            if self.log is not None:
+                self.log.emit("warn_edge_truncation", kf_id=int(kf_id),
+                              n_edges=n_total, cap=self._edge_cap)
+            self._edge_cap = min(self._edge_cap * 2, Kcap * Kcap)
+        if n_total > self._edge_cap:
+            self.edge_truncations += n_total - self._edge_cap
         # append the measured loop-closure Sim3 edge: S_cur<-loop = S12;
         # e = log(S_meas o S_i o S_j^-1) is zero when S_j = S_meas o S_i,
         # and indeed S_cw_corr = S12 o S_2w.
@@ -745,9 +765,17 @@ class LoopCloser:
             edge_valid=evalid,
             edge_weight=weights,
         )
-        new_pack = pose_graph.optimize_pose_graph(
-            prob, iters=self.cfg.solver.pose_graph_iters
-        )
+        if Kcap > self.cfg.solver.pose_graph_dense_max_k:
+            # KITTI-length maps: matrix-free PCG, O(E * cg_iters) instead
+            # of a dense (7K)^3 factorization
+            new_pack = pose_graph.optimize_pose_graph_pcg(
+                prob, iters=self.cfg.solver.pose_graph_iters,
+                cg_iters=self.cfg.solver.pose_graph_cg_iters,
+            )
+        else:
+            new_pack = pose_graph.optimize_pose_graph(
+                prob, iters=self.cfg.solver.pose_graph_iters
+            )
 
         # ---- write back: poses + landmark remap ----
         new_Tcw = jax.vmap(pose_graph.pack_to_se3)(new_pack)
@@ -806,7 +834,15 @@ class LoopCloser:
         # ---- reconcile observation tables + covisibility after the bulk
         # rebinds (source of truth: kf_point_idx) ----
         state, truncated = ms.rebuild_observations(state)
-        self.obs_truncations += int(truncated)
+        truncated = int(truncated)
+        if truncated and self.log is not None:
+            # obs_slots is a quality/throughput trade (local BA reads at
+            # most ba_max_obs_per_point anyway); surface the drop so a
+            # saturated map is visible instead of silently degrading
+            self.log.emit("warn_obs_truncation", kf_id=int(kf_id),
+                          n_dropped=truncated,
+                          obs_slots=int(state.obs_slots))
+        self.obs_truncations += truncated
         state = rebuild_covisibility(state)
 
         # ---- global BA (reference spawns a thread; we run it inline) ----

@@ -28,15 +28,18 @@ from orbslam2_tpu.utils.eventlog import EventLog
 
 class _TurboRec:
     """In-flight pipelined frame: device results + raw inputs (retained so
-    an invalidated dispatch can be reprocessed on the exact path)."""
+    an invalidated dispatch can be reprocessed on the exact path).
+    `epoch` is the map epoch at dispatch time (System._map_epoch): results
+    from a pre-reset epoch must never be folded into the new map."""
 
-    __slots__ = ("res", "frame", "inputs", "prev_anchors")
+    __slots__ = ("res", "frame", "inputs", "prev_anchors", "epoch")
 
-    def __init__(self, res, frame, inputs, prev_anchors):
+    def __init__(self, res, frame, inputs, prev_anchors, epoch):
         self.res = res
         self.frame = frame
         self.inputs = inputs
         self.prev_anchors = prev_anchors
+        self.epoch = epoch
 
 
 class System:
@@ -89,6 +92,10 @@ class System:
         self._pending: list[_TurboRec] = []
         self._anchor = None
         self._in_resolve = False
+        # bumped whenever the map pytree is replaced wholesale (reset,
+        # load_map): in-flight device results from an older epoch must not
+        # be folded into the new map
+        self._map_epoch = 0
 
     # -- per-frame entries (reference src/System.cc:119-266) ---------------
 
@@ -122,13 +129,26 @@ class System:
         device_get. `a`/`b` are (image, depth) for RGB-D, (left, right)
         for stereo, (image, ignored) for monocular.
 
-        With cfg.tracking.pipeline_depth >= 1 the host pull of the
-        PREVIOUS frame's results is deferred until after this frame's
-        dispatch, so the ~40 ms relay round trip overlaps device compute
-        (the device-side `next_*` anchor selections in FrameStepOut make
-        the dispatch independent of the previous pull). Keyframe
-        bookkeeping and loop closing then run one frame late — like the
-        reference's asynchronous LocalMapping/LoopClosing threads."""
+        With cfg.tracking.pipeline_depth = N >= 1 the host pulls are a
+        depth-N FIFO: each frame's pull + bookkeeping is deferred N frames
+        behind its dispatch, so the ~40 ms relay round trip overlaps device
+        compute (the device-side `next_*` anchor selections in FrameStepOut
+        make every dispatch independent of the pending pulls). Keyframe
+        bookkeeping and loop closing then run N frames late — like the
+        reference's asynchronous LocalMapping/LoopClosing threads.
+
+        Events discovered while resolving a pull are routed by kind:
+        * "loop" (a loop correction landed): the in-flight frames' device
+          results are VALID — each dispatch consumed the pre-correction
+          map, and trajectory entries are logged relative to dispatch-epoch
+          reference poses — so they are resolved normally and tracking is
+          then re-anchored to the corrected map (_absorb_pending; the
+          reference re-derives the last frame's pose from its reference
+          keyframe after a map update the same way, src/Tracking.cc:296-310).
+        * "lost" (tracking failed / auto-reset): frames dispatched after
+          the failure chained off a bad pose; their raw inputs are
+          reprocessed on the exact path (_reprocess_stale), after folding
+          in any keyframe a dropped dispatch already inserted on-device."""
         rec = self._turbo_dispatch(sensor, a, b, timestamp)
         pipelined = (
             self.cfg.tracking.pipeline_depth >= 1
@@ -138,20 +158,25 @@ class System:
         if not pipelined:
             while self._pending:  # draining out of pipelined mode
                 prev = self._pending.pop(0)
-                if self._turbo_resolve(prev):
+                ev = self._turbo_resolve(prev)
+                if ev == "loop":
+                    self._absorb_pending(extra=rec)
+                    return self.results[-1].Tcw
+                if ev == "lost":
                     self._anchor = None
                     return self._reprocess_stale(rec)
-            self._turbo_resolve(rec)
+            ev = self._turbo_resolve(rec)
+            if ev == "loop":
+                self._absorb_pending()
             return self.results[-1].Tcw
         self._pending.append(rec)
         while len(self._pending) > self.cfg.tracking.pipeline_depth:
             prev = self._pending.pop(0)
-            if self._turbo_resolve(prev):
-                # every in-flight frame was dispatched against anchors that
-                # an event (LOST / auto-reset / loop correction) just
-                # invalidated: drop their device results and reprocess the
-                # raw inputs on the exact path (the reference pays the same
-                # re-track when its asynchronous loop correction lands)
+            ev = self._turbo_resolve(prev)
+            if ev == "loop":
+                self._absorb_pending()
+                return self.results[-1].Tcw
+            if ev == "lost":
                 self._anchor = None
                 return self._reprocess_stale()
         # lazy device handle: converting to numpy synchronizes, so callers
@@ -166,15 +191,84 @@ class System:
 
     def _reprocess_stale(self, extra=None):
         """Reprocess every dropped in-flight frame in dispatch order (their
-        device results were computed against now-invalid anchors)."""
+        device results chained off a failed pose). A dropped dispatch may
+        already have inserted a keyframe on-device (the map commit happens
+        at dispatch, system._turbo_dispatch); fold the host bookkeeping for
+        those inserts in FIRST so the map accounting stays consistent —
+        unless the map was reset since (epoch mismatch: the insert died
+        with the old pytree)."""
         stale = self._pending
         self._pending = []
         if extra is not None:
             stale = stale + [extra]
+        for s in stale:
+            if s.epoch != self._map_epoch:
+                continue
+            if not (self.enable_mapping and not self.localization_only):
+                continue
+            is_kf, kf_id, keep, new_pids, cull_ids, cull_red = jax.device_get(
+                (s.res.is_kf, s.res.kf_id, s.res.window_keep, s.res.new_pids,
+                 s.res.cull_ids, s.res.cull_red)
+            )
+            if not bool(is_kf):
+                continue
+            kf_id = int(kf_id)
+            self.map = self.local_mapper.after_keyframe(
+                self.map, kf_id, new_pids, keep,
+                cull_ids=cull_ids, cull_red=cull_red,
+            )
+            self._drain_culls()
+            if self.loop_closer is not None:
+                self.loop_closer.add_keyframe_to_db(self.map, kf_id)
+            t = self.tracker
+            t.map = self.map
+            t.n_keyframes += 1
+            t.new_keyframe_ids.append(kf_id)
+            self.log.emit("keyframe", kf_id=kf_id,
+                          frame_id=int(s.frame.frame_id), orphaned=True,
+                          n_new_points=int((np.asarray(new_pids) >= 0).sum()))
         out = None
         for s in stale:
             out = self._reprocess(s)
         return out
+
+    def _absorb_pending(self, extra=None):
+        """A loop correction just landed while frames were in flight. Each
+        of those dispatches consumed the pre-correction map, so their
+        device results are self-consistent tracks in the pre-correction
+        frame of reference — and any keyframes they inserted are already
+        in the (now corrected) map. Resolve them normally: trajectory
+        entries are relative to dispatch-epoch reference poses and pick up
+        the correction at export. Then re-anchor tracking by recomputing
+        the newest frame's pose from its reference keyframe's corrected
+        pose (the reference does the same after a map update,
+        src/Tracking.cc:296-310) and drop the motion model."""
+        pending = self._pending
+        self._pending = []
+        if extra is not None:
+            pending.append(extra)
+        while pending:
+            rec = pending.pop(0)
+            ev = self._turbo_resolve(rec)
+            if ev == "lost":
+                # tracking failed mid-absorb: the remaining frames chained
+                # off the failed pose — hand them to the reprocess path
+                self._pending = pending
+                self._anchor = None
+                return self._reprocess_stale()
+            # ev == "loop": another correction landed; keep absorbing (each
+            # remaining frame still logs against its dispatch-epoch ref)
+        t = self.tracker
+        if t.state == TrackState.OK and t.trajectory:
+            _, Tcr, ref, okf = t.trajectory[-1]
+            if ref >= 0 and ref == t.ref_kf and okf:
+                t.refresh_ref_pose()
+                t.last_Tcw = jnp.asarray(Tcr @ t._ref_pose_np)
+            else:
+                t.refresh_ref_pose()
+        t.velocity = None
+        self._anchor = None
+        return None
 
     def _build_frame(self, sensor: str, a, b, timestamp: float) -> FrameData:
         if sensor == "rgbd":
@@ -261,18 +355,27 @@ class System:
                 arr.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
-        return _TurboRec(res, frame, (sensor, a, b, timestamp), prev_anchors)
+        return _TurboRec(res, frame, (sensor, a, b, timestamp), prev_anchors,
+                         self._map_epoch)
 
-    def _turbo_resolve(self, rec) -> bool:
-        """Host pull + bookkeeping for a dispatched frame. Returns True
-        when an event occurred that invalidates any in-flight dispatch
-        (LOST, auto-reset, loop correction)."""
+    def _turbo_resolve(self, rec) -> Optional[str]:
+        """Host pull + bookkeeping for a dispatched frame. Returns the
+        event kind when one occurred that affects the in-flight dispatches:
+        "lost" (tracking failed / auto-reset — later dispatches chained off
+        a bad pose and must be reprocessed) or "loop" (a loop correction
+        moved the map — later dispatches stay valid but must be resolved
+        against dispatch-epoch reference poses, see _absorb_pending);
+        None otherwise."""
         from orbslam2_tpu.geometry import se3
 
         t = self.tracker
         cfg = self.cfg
         mapper = self.local_mapper
         res, frame = rec.res, rec.frame
+        # the reference pose this frame's dispatch was computed against:
+        # its trajectory entry must use THIS pose even if a correction
+        # refreshes the cached reference pose mid-resolve
+        pre_ref_pose = t._ref_pose_np
         # finalize a loop detection dispatched at an earlier keyframe: its
         # device work and host copy overlapped the frames in between
         # (reference: the LoopClosing thread runs fully asynchronously)
@@ -311,7 +414,7 @@ class System:
                 self.log.emit("frame", frame_id=int(frame.frame_id),
                               t=float(frame.timestamp), state="VO",
                               n_inliers=n_inl, is_kf=False)
-                return False
+                return "loop" if event else None
             t.state = TrackState.LOST
             t.velocity = None
             # restore the pre-frame anchors: relocalization must match
@@ -331,7 +434,7 @@ class System:
                     self.reset()
                 finally:
                     self._in_resolve = False
-            return True
+            return "lost"
 
         t.state = TrackState.OK
         if is_kf and self.enable_mapping and not self.localization_only:
@@ -346,9 +449,10 @@ class System:
                 # frame so the round trip overlaps tracking
                 event = self._dispatch_loop_detection(kf_id) or event
             t.map = self.map
-            # a correction that just landed moved this keyframe's pose: the
-            # pulled kf_Tcw_np is stale, force a fresh ref-pose pull
-            t.on_new_keyframe(kf_id, ref_pose_np=None if event else kf_Tcw_np)
+            # the dispatch-epoch pose: consistent with the pulled Tcw_np
+            # even when a correction has since moved this keyframe (the
+            # caller re-anchors to corrected poses afterwards)
+            t.on_new_keyframe(kf_id, ref_pose_np=kf_Tcw_np)
             # keep the motion model alive across keyframes (the reference
             # updates mVelocity every frame, src/Tracking.cc:447-456)
             t.velocity = res.next_velocity
@@ -357,7 +461,16 @@ class System:
             t.velocity = res.next_velocity
             t.frames_since_kf += 1
         t.last_inliers = n_inl
-        t._log_pose(frame, True, Tcw_np)
+        if event and not is_kf:
+            # a correction refreshed the cached reference pose mid-resolve,
+            # but this frame's Tcw_np is pre-correction: log its relative
+            # pose against the dispatch-epoch reference pose
+            corrected = t._ref_pose_np
+            t._ref_pose_np = pre_ref_pose
+            t._log_pose(frame, True, Tcw_np)
+            t._ref_pose_np = corrected
+        else:
+            t._log_pose(frame, True, Tcw_np)
         self.results.append(TrackResult(Tcw_np, t.state, n_inl, is_kf))
         rec = dict(frame_id=int(frame.frame_id), t=float(frame.timestamp),
                    state="OK", n_inliers=n_inl, is_kf=is_kf)
@@ -367,7 +480,7 @@ class System:
                           frame_id=int(frame.frame_id),
                           n_new_points=int((np.asarray(new_pids_np) >= 0).sum()))
         self.log.emit("frame", **rec)
-        return event
+        return "loop" if event else None
 
     def _drain_culls(self):
         """Re-anchor trajectory entries referencing keyframes the mapper
@@ -378,15 +491,19 @@ class System:
         self.local_mapper.culled_log.clear()
 
     def flush(self):
-        """Resolve any in-flight pipelined frame (host pull + bookkeeping)
-        and any pending loop detection. Called automatically by every
-        introspection/export entry point."""
+        """Drain the depth-N FIFO of in-flight pipelined frames (host pull
+        + bookkeeping for each, oldest first) and any pending loop
+        detection. Called automatically by every introspection/export
+        entry point. Events discovered while draining are routed like in
+        _track_turbo: a loop correction absorbs the remaining in-flight
+        frames, a LOST reprocesses them (either may enqueue fresh
+        dispatches, which the loop then drains too)."""
         while self._pending:
             rec = self._pending.pop(0)
-            if self._turbo_resolve(rec):
-                # an event invalidated the remaining in-flight frames;
-                # reprocess their raw inputs (this may enqueue fresh
-                # dispatches, which the loop then drains too)
+            ev = self._turbo_resolve(rec)
+            if ev == "loop":
+                self._absorb_pending()
+            elif ev == "lost":
                 self._anchor = None
                 self._reprocess_stale()
         if (
@@ -411,7 +528,8 @@ class System:
                 vocab_size=self.cfg.vocab.vocab_size,
                 iters=self.cfg.vocab.train_iters,
             )
-            self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook)
+            self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook,
+                                          log=self.log)
             self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
 
@@ -614,6 +732,7 @@ class System:
         # frames (dropping them would lose those frames' trajectory entries);
         # on an external reset, flush() above already drained the queue.
         self._anchor = None
+        self._map_epoch += 1
         old_traj = self.tracker.trajectory
         self.map = ms.allocate(self.cfg.map, self.cfg.orb)
         self.tracker = Tracker(self.cfg, self.builder, self.map)
@@ -660,6 +779,26 @@ class System:
     def num_keyframes(self) -> int:
         self.flush()
         return int(self.map.num_kf)
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Per feature slot of the current frame: the bound map-point id,
+        -1 where unbound (reference System::GetTrackedMapPoints,
+        include/System.h:131-135 — pointers there, stable indices into the
+        map's point table here)."""
+        self.flush()
+        if self.tracker.last_point_idx is None:
+            return np.full((self.cfg.orb.feature_slots,), -1, np.int32)
+        return np.asarray(self.tracker.last_point_idx)
+
+    def get_tracked_keypoints_un(self) -> tuple[np.ndarray, np.ndarray]:
+        """(xy [S,2] undistorted keypoints of the current frame, valid [S])
+        (reference System::GetTrackedKeyPointsUn, include/System.h:134)."""
+        self.flush()
+        lf = self.tracker.last_frame
+        if lf is None:
+            S = self.cfg.orb.feature_slots
+            return np.zeros((S, 2), np.float32), np.zeros((S,), bool)
+        return np.asarray(lf.xy), np.asarray(lf.valid)
 
     def num_points(self) -> int:
         self.flush()
@@ -717,13 +856,15 @@ class System:
         from orbslam2_tpu.pipeline.loop_closing import LoopCloser
 
         z = np.load(path)
+        self._map_epoch += 1
         fields = {k[4:]: jnp.asarray(z[k]) for k in z.files if k.startswith("map_")}
         self.map = ms.MapState(**fields)
         self.tracker.map = self.map
         self.tracker.n_keyframes = int(jnp.sum(self.map.kf_valid))
         if "codebook" in z.files:
             self.loop_closer = LoopCloser(
-                self.cfg, self.builder.K, jnp.asarray(z["codebook"])
+                self.cfg, self.builder.K, jnp.asarray(z["codebook"]),
+                log=self.log,
             )
             self.loop_closer.db.vectors = jnp.asarray(z["db_vectors"])
             self.loop_closer.db.present = jnp.asarray(z["db_present"])

@@ -541,9 +541,11 @@ class Tracker:
             return False
         st = self.map
         vec = bow_mod.bow_vector(frame.desc, frame.valid, db.codebook)
-        cand, mask, _ = db.query(
-            vec, jnp.zeros(st.capacity_kf, bool), 0.0, jnp.zeros(st.capacity_kf, jnp.int32)
-        )
+        # no covisibility exclusion and no min-score gate for reloc, but the
+        # SAME top-10 covisibility-group accumulation as loop detection
+        # (reference DetectRelocalizationCandidates,
+        # src/KeyFrameDatabase.cc:219-326)
+        cand, mask, _ = db.query(vec, jnp.zeros(st.capacity_kf, bool), 0.0, st.covis)
         cands = [int(c) for c, m in zip(np.asarray(cand), np.asarray(mask)) if m][:5]
         for c in cands:
             bind = reference_kf_match(
@@ -853,7 +855,14 @@ class Tracker:
         T = np.asarray(Tcw) if Tcw is not None else (
             np.asarray(self.last_Tcw) if self.last_Tcw is not None else np.eye(4)
         )
-        if self.ref_kf >= 0:
+        if not np.isfinite(T).all():
+            # a failed/uninitialized pose (e.g. the mbVO arbitration losing
+            # both hypotheses) must not poison the trajectory with NaNs
+            T = self.trajectory[-1][1] @ self._ref_pose_np if (
+                self.trajectory and self.trajectory[-1][2] == self.ref_kf
+            ) else np.eye(4)
+            tracked = False
+        if self.ref_kf >= 0 and np.isfinite(self._ref_pose_np).all():
             Tcr = T @ np.linalg.inv(self._ref_pose_np)
         else:
             Tcr = T
