@@ -159,6 +159,15 @@ class SolverConfig:
     local_ba_iters_second: int = 10
     # global BA: 10-20 iterations (reference src/LoopClosing.cc:690 uses 10)
     global_ba_iters: int = 10
+    # time-sliced global BA after a loop correction (the TPU-native
+    # equivalent of the reference's detached GBA thread,
+    # src/LoopClosing.cc:615,683-790): instead of stalling tracking for
+    # the full solve, dispatch `gba_slice_iters` LM iterations per tracked
+    # frame against a snapshot problem and fold the result back in (with
+    # spanning-tree propagation to keyframes/points created meanwhile)
+    # when all `global_ba_iters` have run. False = inline synchronous GBA.
+    gba_async: bool = True
+    gba_slice_iters: int = 2
     # essential graph: 20 iterations (reference src/Optimizer.cc:916)
     pose_graph_iters: int = 20
     # essential-graph inner solver: dense direct solve up to this keyframe

@@ -34,6 +34,7 @@ from orbslam2_tpu.pipeline import tracking as trk
 from orbslam2_tpu.pipeline.frame import FrameData
 from orbslam2_tpu.slam_map import map_state as ms
 from orbslam2_tpu.solvers import ba, pose_opt
+from orbslam2_tpu.solvers.pallas_pose_opt import pose_optimize_fast
 
 
 class TrackParams(NamedTuple):
@@ -112,7 +113,7 @@ def track_step(
     # coarse stages only SEED the local-map passes below, which re-optimize
     # from scratch — a short robust schedule is enough (the full 4x10 costs
     # 40 sequential GN iterations of latency-bound [S]-sized kernels)
-    res_ref = pose_opt.pose_optimize(last_Tcw, obs_ref, K, rounds=2, iters=6)
+    res_ref = pose_optimize_fast(last_Tcw, obs_ref, K, rounds=2, iters=6)
     ok_ref = res_ref.num_inliers >= p.min_track
     use_ref = ok_ref & (res_ref.num_inliers >= 15)
 
@@ -137,7 +138,7 @@ def track_step(
         obs_mm = trk.build_pose_observations.__wrapped__(
             bind_mm, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
         )
-        res_mm = pose_opt.pose_optimize(Tcw_pred, obs_mm, K, rounds=2, iters=6)
+        res_mm = pose_optimize_fast(Tcw_pred, obs_mm, K, rounds=2, iters=6)
         ok_mm = has_velocity & (res_mm.num_inliers >= p.min_track) & (
             jnp.sum(bind_mm >= 0) >= 20
         )
@@ -169,7 +170,7 @@ def track_step(
         obs = trk.build_pose_observations.__wrapped__(
             b, frame, state.mp_pos, state.mp_valid, p.inv_sigma2
         )
-        r = pose_opt.pose_optimize(Tcw, obs, K, rounds=rounds, iters=iters)
+        r = pose_optimize_fast(Tcw, obs, K, rounds=rounds, iters=iters)
         return r.Tcw, jnp.where(r.inliers, b, -1), r.num_inliers, vis
 
     # pass 1 refines the coarse seed (3x6); pass 2 runs the full reference

@@ -52,6 +52,25 @@ class DescriptorReservoir:
         self.n = 0          # filled slots
         self.n_seen = 0     # total stream length
         self._rng = np.random.default_rng(seed)
+        self._queue = []    # deferred (device_desc, device_valid) pairs
+
+    def add_deferred(self, descs, valid):
+        """Queue DEVICE arrays with an async host copy started; the actual
+        reservoir insertion happens at the next drain (retrain/sample
+        time). A synchronous np.asarray here costs a full ~30-55 ms relay
+        round trip per keyframe — measured as the dominant keyframe-frame
+        spike in the turbo pipeline."""
+        try:
+            descs.copy_to_host_async()
+            valid.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._queue.append((descs, valid))
+
+    def drain(self):
+        q, self._queue = self._queue, []
+        for d, v in q:
+            self.add(np.asarray(d), np.asarray(v))
 
     def add(self, descs: np.ndarray, valid: np.ndarray):
         d = np.asarray(descs)[np.asarray(valid)]
@@ -73,6 +92,7 @@ class DescriptorReservoir:
                 self.buf[slots] = rest
 
     def sample(self) -> tuple[np.ndarray, np.ndarray]:
+        self.drain()
         valid = np.zeros(self.cap, bool)
         valid[: self.n] = True
         return self.buf, valid
@@ -345,6 +365,73 @@ def _bow_rows(kf_desc, kf_feat_valid, present, codebook):
 
 
 @jax.jit
+@jax.jit
+def _gba_fold_in(
+    state: ms.MapState,
+    cam_opt,          # [K, 4, 4] optimized keyframe poses (snapshot problem)
+    pt_opt,           # [Mp, 3] optimized point positions
+    pts,              # [Mp] point slot indices of the snapshot problem
+    pt_ok,            # [Mp] point validity at snapshot
+    snap_kf_frame_id, # [K] kf_frame_id at snapshot (slot-identity guard)
+    snap_kf_valid,    # [K] kf_valid at snapshot
+    snap_mp_first,    # [Mp] mp_first_kf at snapshot (slot-identity guard)
+) -> ms.MapState:
+    """Fold a completed time-sliced global BA back into the LIVE map.
+
+    The reference's detached-GBA completion handler
+    (src/LoopClosing.cc:683-790) walks the spanning tree from the root:
+    keyframes that were IN the GBA get their optimized pose; keyframes
+    created while GBA ran keep their CURRENT relative pose to their parent
+    (T_child_new = T_child_cur * T_parent_cur^-1 * T_parent_new); points in
+    the GBA get optimized positions, newer points move rigidly with their
+    reference keyframe. Slot-identity guards (kf_frame_id / mp_first_kf
+    unchanged since the snapshot) keep recycled slots from receiving stale
+    writebacks.
+    """
+    Kcap = state.capacity_kf
+    P = state.capacity_mp
+    old_T = state.kf_Tcw
+
+    same_kf = (
+        state.kf_valid & snap_kf_valid
+        & (state.kf_frame_id == snap_kf_frame_id)
+    )
+    new_T = jnp.where(same_kf[:, None, None], cam_opt, old_T)
+
+    # spanning-tree propagation to post-snapshot keyframes: parents are
+    # always older, and a GBA window spans only a handful of frames, so a
+    # few relaxation passes resolve every parent chain
+    def prop(_, carry):
+        new_T, resolved = carry
+        p = jnp.clip(state.kf_parent, 0, Kcap - 1)
+        can = (
+            state.kf_valid & ~resolved & (state.kf_parent >= 0) & resolved[p]
+        )
+        T_rel = old_T @ jax.vmap(se3.inverse)(old_T[p])
+        T_cand = T_rel @ new_T[p]
+        new_T = jnp.where(can[:, None, None], T_cand, new_T)
+        return new_T, resolved | can
+
+    new_T, resolved = jax.lax.fori_loop(0, 4, prop, (new_T, same_kf))
+
+    # optimized points: guarded scatter
+    live = state.mp_valid[pts]
+    same_pt = live & pt_ok & (state.mp_first_kf[pts] == snap_mp_first)
+    wr = jnp.where(same_pt, pts, P)
+    mp_pos = state.mp_pos.at[wr].set(pt_opt, mode="drop")
+    opt_full = jnp.zeros((P,), bool).at[wr].set(True, mode="drop")
+
+    # everything else moves rigidly with its (corrected) reference keyframe
+    ref = jnp.clip(state.mp_ref_kf, 0, Kcap - 1)
+    movable = (
+        state.mp_valid & ~opt_full & (state.mp_ref_kf >= 0) & resolved[ref]
+    )
+    pc = se3.apply(old_T[ref], state.mp_pos)
+    p_new = se3.apply(jax.vmap(se3.inverse)(new_T[ref]), pc)
+    mp_pos = jnp.where(movable[:, None], p_new, mp_pos)
+    return state._replace(kf_Tcw=new_T, mp_pos=mp_pos)
+
+
 def rebuild_covisibility(state: ms.MapState) -> ms.MapState:
     """Recompute the full covisibility matrix from the (reconciled) per-
     point observation tables: every observer pair of every valid point
@@ -419,11 +506,15 @@ class LoopCloser:
         # round trip overlaps tracking (reference runs the whole
         # LoopClosing thread asynchronously, src/LoopClosing.cc:60-100)
         self._pending_detect = None
+        # time-sliced global BA in flight (see start_gba_async)
+        self._gba = None
 
     # ------------------------------------------------------------------
     def add_keyframe_to_db(self, state: ms.MapState, kf_id: int):
-        self.reservoir.add(
-            np.asarray(state.kf_desc[kf_id]), np.asarray(state.kf_feat_valid[kf_id])
+        # deferred: the gathers stay on device with an async host copy;
+        # the reservoir consumes them at the next retrain (sample())
+        self.reservoir.add_deferred(
+            state.kf_desc[kf_id], state.kf_feat_valid[kf_id]
         )
         self._kf_count += 1
         # retrain at keyframe-count doublings: the vocabulary grows with
@@ -845,9 +936,19 @@ class LoopCloser:
         self.obs_truncations += truncated
         state = rebuild_covisibility(state)
 
-        # ---- global BA (reference spawns a thread; we run it inline) ----
+        # ---- global BA: time-sliced by default (the TPU-native analogue
+        # of the reference's detached GBA thread + abort protocol,
+        # src/LoopClosing.cc:615,683-790: a correction arriving while GBA
+        # runs aborts it — here by starting a fresh snapshot problem) ----
         if run_global_ba:
-            state = self.global_ba(state)
+            if self.cfg.solver.gba_async:
+                if self._gba is not None and self.log is not None:
+                    self.log.emit("gba_aborted", kf_id=int(kf_id),
+                                  iters_done=self._gba["done"])
+                self._gba = None
+                self.start_gba_async(state)
+            else:
+                state = self.global_ba(state)
         self.last_loop_kf = kf_id
         self.loops_closed += 1
         self._loop_pts = None
@@ -875,6 +976,66 @@ class LoopCloser:
             prob, self.K, iters=self.cfg.solver.global_ba_iters, use_kernel=True
         )
         return lm.writeback_local_ba(state, res, prob, cam_ids, cam_present, pts, pt_ok)
+
+    # ------------------------------------------------------------------
+    def start_gba_async(self, state: ms.MapState):
+        """Snapshot the full-map BA problem and begin time-sliced solving.
+
+        The snapshot copies the aliased map buffers (the tracking pipeline
+        DONATES the map pytree every frame, which would invalidate shared
+        device buffers). Subsequent frames each dispatch one bounded slice
+        via `step_gba_async`; completion folds back through `_gba_fold_in`.
+        """
+        prob, cam_ids, cam_present, pts, pt_ok = lm.build_global_ba_problem(
+            state, self.inv_sigma2,
+            max_points=self.cfg.map.max_points,
+            obs_slots=int(state.obs_slots),
+        )
+        prob = prob._replace(cam_Tcw=state.kf_Tcw.copy())
+        self._gba = {
+            "prob": prob,
+            "pts": pts,
+            "pt_ok": pt_ok,
+            "cam": prob.cam_Tcw,
+            "pt_pos": prob.points,
+            "lam": jnp.float32(1e-4),
+            "done": 0,
+            "snap_kf_frame_id": state.kf_frame_id.copy(),
+            "snap_kf_valid": state.kf_valid.copy(),
+            "snap_mp_first": state.mp_first_kf[pts],
+        }
+        if self.log is not None:
+            self.log.emit("gba_start", total_iters=self.cfg.solver.global_ba_iters)
+
+    def step_gba_async(self, state: ms.MapState) -> tuple[ms.MapState, bool]:
+        """Advance the in-flight global BA by one slice (device-async; the
+        host does not wait). Returns (state, folded): `folded` is True when
+        the final slice completed and the result was folded into the live
+        map — callers must then re-anchor tracking exactly as after a loop
+        correction (poses moved globally)."""
+        g = self._gba
+        if g is None:
+            return state, False
+        sc = self.cfg.solver
+        n = min(sc.gba_slice_iters, sc.global_ba_iters - g["done"])
+        g["cam"], g["pt_pos"], g["lam"], _cost = ba.bundle_adjust_slice(
+            g["prob"], self.K, g["cam"], g["pt_pos"], g["lam"],
+            iters=n, use_kernel=jnp.asarray(True),
+        )
+        g["done"] += n
+        if g["done"] < sc.global_ba_iters:
+            return state, False
+        state = _gba_fold_in(
+            state, g["cam"], g["pt_pos"], g["pts"], g["pt_ok"],
+            g["snap_kf_frame_id"], g["snap_kf_valid"], g["snap_mp_first"],
+        )
+        self._gba = None
+        if self.log is not None:
+            self.log.emit("gba_folded", total_iters=sc.global_ba_iters)
+        return state, True
+
+    def abort_gba(self):
+        self._gba = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, state: ms.MapState, kf_id: int, key) -> tuple[ms.MapState, Optional[LoopResult]]:

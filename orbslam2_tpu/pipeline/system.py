@@ -386,6 +386,11 @@ class System:
             and self.loop_closer._pending_detect is not None
         ):
             event = self._finalize_loop_detection()
+        # advance an in-flight time-sliced global BA by one bounded slice
+        # (device-async; a fold-in moves every pose and is handled exactly
+        # like a loop correction)
+        if self._step_async_gba():
+            event = True
         # ONE host pull per frame: scalars + the keyframe outputs (the
         # latter are small and returned unconditionally, so fetching them
         # here saves a second ~25-60 ms relay round trip on every keyframe)
@@ -511,6 +516,11 @@ class System:
             and self.loop_closer._pending_detect is not None
         ):
             self._finalize_loop_detection()
+        # run any in-flight time-sliced global BA to completion: exports
+        # and saves must see the fully optimized map (the reference's
+        # Shutdown waits for the GBA thread the same way)
+        while self.loop_closer is not None and self.loop_closer._gba is not None:
+            self._step_async_gba()
         self._anchor = None
 
     def _ensure_loop_closer(self, state, kf_id: int):
@@ -573,6 +583,26 @@ class System:
             return True
         return False
 
+    def _step_async_gba(self) -> bool:
+        """Dispatch one slice of an in-flight time-sliced global BA (see
+        LoopCloser.start_gba_async). Returns True when the completed result
+        was folded into the map — poses moved globally, so tracking
+        re-anchors the same way as after a loop correction."""
+        lc = self.loop_closer
+        if lc is None or lc._gba is None:
+            return False
+        self.map, folded = lc.step_gba_async(self.map)
+        if not folded:
+            return False
+        t = self.tracker
+        t.map = self.map
+        t.refresh_ref_pose()
+        if t.ref_kf >= 0:
+            t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
+        t.velocity = None
+        self._anchor = None
+        return True
+
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:
         if self.tracker.state == TrackState.OK:
             return self._track_turbo("stereo", left, right, timestamp)
@@ -595,6 +625,7 @@ class System:
         self._drain_culls()
         n_kf_ev = self.log.counts().get("keyframe", 0)
         self._handle_kf_request()
+        self._step_async_gba()
         self.results.append(res)
         if res.is_keyframe and self.log.counts().get("keyframe", 0) == n_kf_ev:
             # keyframe(s) created inside tracker.process (initialization

@@ -281,23 +281,17 @@ def _build_and_solve(r, Jc, Jp, w, prob: BAProblem, lam):
     return dx_cam, dp
 
 
-@partial(jax.jit, static_argnames=("iters", "use_kernel"))
-def bundle_adjust(
-    prob: BAProblem,
-    K: Intrinsics,
-    iters: int = 10,
-    use_kernel: bool = True,
-    lam0: float = 1e-4,
-) -> BAResult:
-    """Levenberg-Marquardt BA with branchless accept/reject."""
-    is_stereo = prob.obs_ur >= 0
-    uk = jnp.asarray(use_kernel)
+def _lm_steps(prob: BAProblem, K: Intrinsics, cam, pts, lam, iters: int, uk):
+    """Run `iters` Levenberg-Marquardt steps from (cam, pts, lam).
 
-    # ONE full edge evaluation per LM iteration: the candidate step's
-    # residuals/Jacobians are computed to score acceptance and then carried
-    # into the next iteration (on accept they ARE the new linearization; on
-    # reject the previous terms are reused). The textbook loop evaluates
-    # edges twice per iteration — ~1.3 ms per eval at [2048,16] on a v5e.
+    ONE full edge evaluation per LM iteration: the candidate step's
+    residuals/Jacobians are computed to score acceptance and then carried
+    into the next iteration (on accept they ARE the new linearization; on
+    reject the previous terms are reused). The textbook loop evaluates
+    edges twice per iteration — ~1.3 ms per eval at [2048,16] on a v5e.
+    """
+    is_stereo = prob.obs_ur >= 0
+
     def step(carry, _):
         cam, pts, lam, cost, terms = carry
         r, Jc, Jp, w, _, _ = terms
@@ -317,11 +311,43 @@ def bundle_adjust(
         )
         return (cam, pts, lam, cost, terms), None
 
-    terms0 = _edge_terms(prob.cam_Tcw, prob.points, prob, K, uk)
+    terms0 = _edge_terms(cam, pts, prob, K, uk)
     cost0 = _robust_cost(terms0[4], terms0[5], uk, is_stereo)
-    (cam, pts, _, cost, _), _ = jax.lax.scan(
-        step, (prob.cam_Tcw, prob.points, jnp.asarray(lam0), cost0, terms0),
-        None, length=iters,
+    (cam, pts, lam, cost, _), _ = jax.lax.scan(
+        step, (cam, pts, lam, cost0, terms0), None, length=iters,
+    )
+    return cam, pts, lam, cost
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust_slice(
+    prob: BAProblem, K: Intrinsics, cam, pts, lam, iters: int, use_kernel
+):
+    """One bounded slice of LM iterations with an explicit carry.
+
+    Time-sliced global BA (the TPU-native stand-in for the reference's
+    detached GBA thread, src/LoopClosing.cc:615,683-790): the loop closer
+    dispatches one slice per tracked frame so a full-map BA never stalls
+    tracking by more than one slice's device time. The carry (cam, pts,
+    lam) lives on device between slices; `use_kernel` is traced so the
+    robust->plain switch reuses the same compiled program.
+    """
+    return _lm_steps(prob, K, cam, pts, lam, iters, jnp.asarray(use_kernel))
+
+
+@partial(jax.jit, static_argnames=("iters", "use_kernel"))
+def bundle_adjust(
+    prob: BAProblem,
+    K: Intrinsics,
+    iters: int = 10,
+    use_kernel: bool = True,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """Levenberg-Marquardt BA with branchless accept/reject."""
+    is_stereo = prob.obs_ur >= 0
+    uk = jnp.asarray(use_kernel)
+    cam, pts, _, cost = _lm_steps(
+        prob, K, prob.cam_Tcw, prob.points, jnp.asarray(lam0), iters, uk
     )
 
     *_, chi2, active = _edge_terms(cam, pts, prob, K, jnp.asarray(False))
