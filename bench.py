@@ -1,19 +1,57 @@
 """Headline benchmark: full-pipeline tracked frames/s on one TPU chip.
 
-Runs the complete SLAM pipeline (ORB extraction -> matching -> robust pose
-optimization -> keyframe insertion -> triangulation/fusion -> local BA) on
-a synthetic RGB-D sequence and reports steady-state tracked frames per
-second. Baseline: the upstream ORB-SLAM2 CPU implementation is real-time at
-~30 fps on TUM-class sequences (BASELINE.md §A), so vs_baseline = fps / 30.
+Two live segments through the complete SLAM pipeline (ORB extraction ->
+matching -> robust pose optimization -> keyframe insertion ->
+triangulation/fusion -> local BA -> loop detection):
+
+* forward dolly (64 measured frames) — steady-state tracking;
+* full 360-degree orbit + 35-frame revisit (197 measured frames) — the
+  revisit DETECTS and CLOSES a real loop, so the headline number includes
+  the Sim3 + essential-graph + (time-sliced) global-BA correction cost
+  (VERDICT r2: "the headline bench closes zero loops").
+
+The headline fps is total measured frames / total wall time across both
+segments. Baseline: the upstream ORB-SLAM2 CPU implementation is real-time
+at ~30 fps on TUM-class sequences (BASELINE.md §A), so vs_baseline =
+fps / 30.
 
 Prints exactly one JSON line.
 """
 
+import dataclasses
 import json
 import sys
 import time
 
 import numpy as np
+
+
+def _run_segment(cfg, seq, n_frames, warmup, jax):
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.pipeline.system import System
+    from orbslam2_tpu.utils.evaluation import ate_rmse
+
+    # stage frames on-device up front: a production input pipeline streams
+    # H2D asynchronously; the benchmark measures the SLAM compute path
+    frames = [
+        tuple(jax.device_put(jnp.asarray(a)) for a in seq.frame(i))
+        for i in range(n_frames)
+    ]
+    slam = System(cfg)
+    wall = []
+    for i in range(n_frames):
+        img, depth = frames[i]
+        t0 = time.perf_counter()
+        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+        wall.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    slam.flush()
+    wall[-1] += time.perf_counter() - t0
+    ts, poses, tracked = slam.frame_poses()
+    sel = tracked
+    rmse = ate_rmse(poses[sel], seq.poses[sel], align=True) if sel.any() else float("nan")
+    return slam, wall, rmse, int((~tracked).sum())
 
 
 def main():
@@ -35,45 +73,29 @@ def main():
         TrackingConfig,
     )
     from orbslam2_tpu.io import synthetic
-    from orbslam2_tpu.pipeline.system import System
-    from orbslam2_tpu.utils.evaluation import ate_rmse
 
-    cfg = SlamConfig(
+    # shared shapes across both segments (one set of compiled programs):
+    # camera, feature slots, map capacities identical; only traced scalars
+    # (th_depth) differ per segment
+    base = SlamConfig(
         sensor=Sensor.RGBD,
         camera=CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5, bf=48.0, fps=30.0),
         orb=OrbConfig(num_features=1000, feature_slots=1024),
-        map=MapConfig(max_keyframes=64, max_points=16384, max_local_points=4096),
+        map=MapConfig(max_keyframes=96, max_points=16384, max_local_points=4096),
         # pipeline_depth=2: each frame's host pull gets a FULL frame of
         # slack behind two in-flight dispatches, so the ~40 ms relay round
         # trip is fully hidden (depth=1 left a ~7 ms residual per frame)
         tracking=TrackingConfig(th_depth=40.0, pipeline_depth=2),
         # local-BA problem size: measured on the v5e, per-iteration cost is
         # ~linear in capped points x iterations and flat in cameras; 2048
-        # points + 4+5 iterations track the same ATE at ~half the BA cost
+        # points + 3+4 iterations track the same ATE at ~half the BA cost
         solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=3,
                             local_ba_iters_second=4,
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
     )
     profile = "--profile" in sys.argv
-    n_frames = 24 if profile else 40
-    warmup = 6 if profile else 8
-    # photometric-realistic textured room (dense depth, discriminative
-    # texture, occluders) — the round-1 starfield was adversarial AND easy
-    # in unrealistic ways (VERDICT r1 "What's missing" #1)
-    seq = synthetic.textured_sequence(n_frames=n_frames, kind="forward", cam=cfg.camera)
-    # stage frames on-device up front: a production input pipeline streams
-    # H2D asynchronously; the benchmark measures the SLAM compute path
-    import jax.numpy as jnp
+    warmup = 8
 
-    frames = [
-        tuple(jax.device_put(jnp.asarray(a)) for a in seq.frame(i))
-        for i in range(n_frames)
-    ]
-
-    # loop closing stays ENABLED: the headline number must include the cost
-    # of the detection machinery (round-1 bench measured a system without
-    # its most expensive subsystem — VERDICT r1 "What's weak")
-    slam = System(cfg)
     if profile:
         import time as _time
 
@@ -89,7 +111,6 @@ def main():
                 stage_times.setdefault(name, []).append(_time.perf_counter() - t0)
                 return out
 
-            # other fused programs compose via .__wrapped__ at trace time
             inner.__wrapped__ = fn.__wrapped__
             return inner
 
@@ -97,54 +118,60 @@ def main():
             "frame+track+kf", _fused.frame_and_keyframe_step
         )
 
-        _orig_lc = type(slam)._run_loop_closing
-        def _timed_lc(self_s, *a, **k):
-            t0 = _time.perf_counter()
-            out = _orig_lc(self_s, *a, **k)
-            stage_times.setdefault("host:loop_closing", []).append(_time.perf_counter() - t0)
-            return out
-        type(slam)._run_loop_closing = _timed_lc
-        _orig_hkf = type(slam)._handle_kf_request
-        def _timed_hkf(self_s, *a, **k):
-            t0 = _time.perf_counter()
-            out = _orig_hkf(self_s, *a, **k)
-            stage_times.setdefault("host:kf_request", []).append(_time.perf_counter() - t0)
-            return out
-        type(slam)._handle_kf_request = _timed_hkf
-    # warmup: triggers all compilations (extract, match, pose opt, BA)
-    for i in range(warmup):
-        img, depth = frames[i]
-        slam.track_rgbd(img, depth, timestamp=i / 30.0)
+    # ---- segment A: forward dolly (steady-state tracking) --------------
+    nA = 72 if not profile else 24
+    seqA = synthetic.textured_sequence(n_frames=nA, kind="forward", cam=base.camera)
+    slamA, wallA, ateA, lostA = _run_segment(base, seqA, nA, warmup, jax)
 
-    t0 = time.perf_counter()
-    for i in range(warmup, n_frames):
-        img, depth = frames[i]
-        slam.track_rgbd(img, depth, timestamp=i / 30.0)
-    jax.block_until_ready(slam.map.kf_Tcw)
-    dt = time.perf_counter() - t0
+    # ---- segment B: orbit + revisit (a REAL loop closure) --------------
+    # the orbit's wall views have no close structure; trust the synthetic
+    # depth out to 13 m (th_depth is a traced scalar: no recompile)
+    cfgB = dataclasses.replace(base, tracking=dataclasses.replace(
+        base.tracking, th_depth=130.0))
+    nB_orbit, nB_revisit = 170, 35
+    nB = nB_orbit + nB_revisit
+    seqB = synthetic.textured_sequence(n_frames=nB_orbit, kind="orbit",
+                                       cam=base.camera)
+    seqB = dataclasses.replace(
+        seqB, poses=np.concatenate([seqB.poses, seqB.poses[:nB_revisit]])
+    )
+    slamB, wallB, ateB, lostB = _run_segment(cfgB, seqB, nB, warmup, jax)
+    loops = slamB.loop_closer.loops_closed if slamB.loop_closer else 0
 
-    fps = (n_frames - warmup) / dt
+    measured = (nA - warmup) + (nB - warmup)
+    total = sum(wallA[warmup:]) + sum(wallB[warmup:])
+    fps = measured / total
+
+    stages = {}
+    if profile:
+        for name, vals in stage_times.items():
+            tail = vals[max(len(vals) // 2, 1):] or vals
+            stages[name] = {
+                "n": len(vals),
+                "first_ms": round(vals[0] * 1e3, 1),
+                "steady_ms": round(float(np.median(tail)) * 1e3, 1),
+            }
 
     # --all-sensors: short stereo + mono segments through their own
     # one-dispatch turbo programs (each pays a fresh remote compile, so
     # they are opt-in; the headline stays the RGB-D number)
     sensor_fps = {}
     if "--all-sensors" in sys.argv:
-        import dataclasses
+        from orbslam2_tpu.pipeline.system import System
 
         for name, kind in (("stereo", "forward"), ("mono", "lateral")):
             if name == "stereo":
-                scfg = dataclasses.replace(cfg, sensor=Sensor.STEREO)
+                scfg = dataclasses.replace(base, sensor=Sensor.STEREO)
             else:
                 scfg = dataclasses.replace(
-                    cfg,
+                    base,
                     sensor=Sensor.MONOCULAR,
                     orb=dataclasses.replace(
-                        cfg.orb, num_features=1200, feature_slots=1280,
+                        base.orb, num_features=1200, feature_slots=1280,
                         candidates_per_level=4096,
                     ),
                     tracking=dataclasses.replace(
-                        cfg.tracking, th_depth=100.0,
+                        base.tracking, th_depth=100.0,
                         mono_init_min_matches=50, kf_min_gap=2,
                     ),
                 )
@@ -165,25 +192,6 @@ def main():
             jax.block_until_ready(s.map.kf_Tcw)
             sensor_fps[f"{name}_fps"] = round((24 - sw) / (time.perf_counter() - t1), 2)
 
-    stages = {}
-    if profile:
-        for name, vals in stage_times.items():
-            tail = vals[max(len(vals) // 2, 1):] or vals
-            stages[name] = {
-                "n": len(vals),
-                "first_ms": round(vals[0] * 1e3, 1),
-                "steady_ms": round(float(np.median(tail)) * 1e3, 1),
-            }
-            print(
-                f"# {name}: n={len(vals)} first={vals[0]*1e3:.0f}ms "
-                f"steady={np.median(tail)*1e3:.0f}ms",
-                file=sys.stderr,
-            )
-    ts, poses, tracked = slam.frame_poses()
-    sel = tracked
-    rmse = ate_rmse(poses[sel], seq.poses[sel]) if sel.any() else float("nan")
-    n_lost = int((~tracked).sum())
-
     print(
         json.dumps(
             {
@@ -192,15 +200,30 @@ def main():
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 30.0, 3),
                 "extra": {
-                    "ate_rmse_m": round(rmse, 4),
-                    "lost_frames": n_lost,
-                    "frames": n_frames - warmup,
-                    "keyframes": slam.num_keyframes(),
-                    "points": slam.num_points(),
-                    "loops_closed": (
-                        slam.loop_closer.loops_closed if slam.loop_closer else 0
-                    ),
-                    "scene": "textured_room_forward",
+                    "frames": measured,
+                    "ate_rmse_m": round(ateA, 4),
+                    "lost_frames": lostA + lostB,
+                    "loops_closed": loops,
+                    "forward": {
+                        "fps": round((nA - warmup) / sum(wallA[warmup:]), 2),
+                        "frames": nA - warmup,
+                        "ate_rmse_m": round(ateA, 4),
+                        "keyframes": slamA.num_keyframes(),
+                        "points": slamA.num_points(),
+                    },
+                    "orbit_loop": {
+                        "fps": round((nB - warmup) / sum(wallB[warmup:]), 2),
+                        "frames": nB - warmup,
+                        "ate_rmse_m": round(ateB, 4),
+                        "keyframes": slamB.num_keyframes(),
+                        "points": slamB.num_points(),
+                        "loops_closed": loops,
+                        # worst frame = the loop-correction frame: Sim3 +
+                        # essential graph + point remap (global BA is
+                        # time-sliced across later frames, not in here)
+                        "loop_latency_ms": round(max(wallB[warmup:]) * 1e3, 1),
+                    },
+                    "scene": "textured_room forward + orbit_revisit",
                     "device": str(jax.devices()[0]),
                     **({"stages": stages} if stages else {}),
                     **sensor_fps,

@@ -75,22 +75,50 @@ def main():
     n_dev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
     iters = 10
-    results = {}
-    for n in sizes:
-        mesh = sharded_ba.make_points_mesh(n)
-        out = sharded_ba.sharded_bundle_adjust(prob, K, mesh, iters=2)  # warm
+
+    def time_ba(pr, mesh, solver):
+        out = sharded_ba.sharded_bundle_adjust(
+            pr, K, mesh, iters=2, camera_solver=solver)  # warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = sharded_ba.sharded_bundle_adjust(prob, K, mesh, iters=iters)
+        out = sharded_ba.sharded_bundle_adjust(
+            pr, K, mesh, iters=iters, camera_solver=solver)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        results[n] = dt
+        return (time.perf_counter() - t0) / iters
+
+    results = {}
+    results_pcg = {}
+    for n in sizes:
+        mesh = sharded_ba.make_points_mesh(n)
+        results[n] = time_ba(prob, mesh, "direct")
+        # reduce-scattered system + distributed block-Jacobi PCG camera
+        # solve: 1/D the collective payload, no replicated factorization
+        results_pcg[n] = time_ba(prob, mesh, "pcg")
 
     def efficiency(results):
         base = results[sizes[0]] * sizes[0]
         return {n: round(base / (results[n] * n), 3) for n in sizes}
 
     eff = efficiency(results)
+    eff_pcg = efficiency(results_pcg)
+
+    # ---- weak scaling: points per device held constant ------------------
+    def subprob(m):
+        sl = slice(0, m)
+        return ba.BAProblem(
+            cam_Tcw=prob.cam_Tcw, cam_free=prob.cam_free,
+            points=prob.points[sl], point_valid=prob.point_valid[sl],
+            obs_cam=prob.obs_cam[sl], obs_uv=prob.obs_uv[sl],
+            obs_ur=prob.obs_ur[sl], obs_inv_sigma2=prob.obs_inv_sigma2[sl],
+            obs_valid=prob.obs_valid[sl],
+        )
+
+    P0 = Pn // max(sizes)
+    weak = {}
+    for n in sizes:
+        mesh = sharded_ba.make_points_mesh(n)
+        weak[n] = time_ba(subprob(P0 * n), mesh, "direct")
+    weak_eff = {n: round(weak[sizes[0]] / weak[n], 3) for n in sizes}
 
     # ---- edge-sharded pose graph (SURVEY §2b: essential graph) ----------
     from orbslam2_tpu.parallel import sharded_pose_graph as spg
@@ -160,6 +188,21 @@ def main():
         "extra": {
             "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in results.items()},
             "strong_scaling_efficiency": eff,
+            "pcg_camera_solve": {
+                "note": "reduce-scattered [C/D,C,6,6] system + distributed"
+                        " block-Jacobi PCG (cg_iters=48): 1/D collective"
+                        " payload, zero replicated factorization",
+                "per_mesh_ms": {str(n): round(v * 1e3, 2)
+                                for n, v in results_pcg.items()},
+                "strong_scaling_efficiency": eff_pcg,
+            },
+            "weak_scaling": {
+                "note": f"points per device fixed at {P0}"
+                        " (direct camera solve)",
+                "per_mesh_ms": {str(n): round(v * 1e3, 2)
+                                for n, v in weak.items()},
+                "efficiency": weak_eff,
+            },
             "pose_graph": {
                 "problem": f"K={Kv}, E={E}, matrix-free block-Jacobi PCG"
                            " (cg_iters=64), edge-sharded",

@@ -33,11 +33,16 @@ def triangulate_dlt(
       P1, P2: 3x4 projection matrices (broadcast against batch dims).
 
     Returns:
-      World points [..., 3] (homogeneous solution dehomogenized; w clamped).
+      World points [..., 3].
 
-    The 4x4 system A x = 0 is solved via the eigenvector of A^T A with the
-    smallest eigenvalue — `eigh` batches cleanly on TPU where tiny SVDs
-    would serialize.
+    The 4x4 homogeneous system A x = 0 is solved INHOMOGENEOUSLY (w = 1):
+    minimize |B p + c|^2 with B = A[:, :3], c = A[:, 3] via the 3x3 normal
+    equations and a closed-form adjugate inverse. Batched `eigh` on [N,4,4]
+    lowers to a sequential per-matrix loop on TPU — measured 3.35 ms for
+    N=1024 (the entire triangulation budget) vs ~0.1 ms for this form.
+    Only points at infinity (w ~ 0) lose accuracy, and those fail the
+    caller's cheirality/chi2/scale gates anyway; near-singular systems
+    (parallel rays) return a behind-camera sentinel that fails cheirality.
     """
     rows = [
         uv1[..., 0, None] * P1[..., 2, :] - P1[..., 0, :],
@@ -46,12 +51,34 @@ def triangulate_dlt(
         uv2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :],
     ]
     A = jnp.stack(rows, axis=-2)  # [..., 4, 4]
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    X = vecs[..., :, 0]  # [..., 4]
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-10, 1e-10, w)
-    return X[..., :3] / w[..., None]
+    B = A[..., :, :3]
+    c = A[..., :, 3]
+    H = jnp.swapaxes(B, -1, -2) @ B                      # [..., 3, 3]
+    g = jnp.einsum("...ij,...i->...j", B, c)             # [..., 3]
+    # closed-form 3x3 inverse via the adjugate (pure elementwise VPU math)
+    a, b_, cc = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    gg, hh, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A00 = e * i - f * hh
+    A01 = cc * hh - b_ * i
+    A02 = b_ * f - cc * e
+    A10 = f * gg - d * i
+    A11 = a * i - cc * gg
+    A12 = cc * d - a * f
+    A20 = d * hh - e * gg
+    A21 = b_ * gg - a * hh
+    A22 = a * e - b_ * d
+    det = a * A00 + b_ * A10 + cc * A20
+    ok = jnp.abs(det) > 1e-12
+    safe = jnp.where(ok, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1),
+    ], -2) / safe[..., None, None]
+    p = -jnp.einsum("...ij,...j->...i", adj, g)
+    # degenerate pairs -> behind-camera sentinel (fails cheirality gates)
+    return jnp.where(ok[..., None], p, jnp.asarray([0.0, 0.0, -1.0]))
 
 
 def triangulate_two_view(

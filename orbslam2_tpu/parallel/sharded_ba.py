@@ -104,7 +104,87 @@ def _solve_cams(S, g_S, prob: ba_core.BAProblem, lam):
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters", "use_kernel"))
+def _solve_cams_pcg(S, g_S, prob: ba_core.BAProblem, lam, axis: str,
+                    cg_iters: int, n_dev: int):
+    """Distributed camera solve: the reduced system is REDUCE-SCATTERED
+    over camera rows (each device owns C/D rows — 1/D the collective
+    payload of a full psum) and solved by block-Jacobi-preconditioned CG.
+    Per CG step the only collective is an all_gather of a [C, 6] vector;
+    nothing O(C^2) is ever replicated and the (6C)^3 dense factorization
+    disappears entirely (it serializes per-device at D devices).
+    """
+    C = prob.cam_Tcw.shape[0]
+    eye6 = jnp.eye(6)
+    # pad the camera-ROW axis to a multiple of the mesh size (padded rows
+    # are "fixed": identity diagonal, zero rhs)
+    Cp = ((C + n_dev - 1) // n_dev) * n_dev
+    free = jnp.pad(prob.cam_free, (0, Cp - C))
+    S = jnp.pad(S, ((0, Cp - C), (0, 0), (0, 0), (0, 0)))
+    g_S = jnp.pad(g_S, ((0, Cp - C), (0, 0)))
+    # scatter the summed system's camera-row axis across the mesh
+    Sl = jax.lax.psum_scatter(S, axis, scatter_dimension=0, tiled=True)
+    gl = jax.lax.psum_scatter(g_S, axis, scatter_dimension=0, tiled=True)
+    Cl = Sl.shape[0]
+    off = jax.lax.axis_index(axis) * Cl
+    rows = off + jnp.arange(Cl)
+    free_r = free[rows]
+    Sl = Sl * (free_r[:, None, None, None] & free[None, :C, None, None])
+    # damped diagonal (fixed rows pinned to identity)
+    rows_c = jnp.clip(rows, 0, C - 1)
+    diag = Sl[jnp.arange(Cl), rows_c]                     # [Cl, 6, 6]
+    damp = lam * jnp.maximum(
+        jnp.trace(diag, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+    )
+    diag = jnp.where(free_r[:, None, None], diag + damp * eye6, eye6)
+    Sl = Sl.at[jnp.arange(Cl), rows_c].set(diag)
+    b = jnp.where(free_r[:, None], -gl, 0.0)              # local rows of rhs
+    b = jax.lax.all_gather(b, axis, tiled=True)[:C]       # [C, 6]
+
+    # block-Jacobi preconditioner: per-camera 6x6 inverse (replicated,
+    # trivially small)
+    dall = jax.lax.all_gather(diag, axis, tiled=True)[:C]  # [C, 6, 6]
+    ch = jax.scipy.linalg.cho_factor(
+        dall + 1e-8 * eye6, lower=True
+    )
+
+    def precond(r):
+        return jax.scipy.linalg.cho_solve(ch, r[..., None])[..., 0]
+
+    def matvec(p):
+        q = jnp.einsum("acij,cj->ai", Sl, p)              # [Cl, 6]
+        return jax.lax.all_gather(q, axis, tiled=True)[:C]  # [C, 6]
+
+    x0 = jnp.zeros((C, 6), S.dtype)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cg_step(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(pAp > 1e-20, rz / pAp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (dx, _, _, _), _ = jax.lax.scan(
+        cg_step, (x0, r0, p0, rz0), None, length=cg_iters
+    )
+    return jnp.where(
+        free[:C, None] & jnp.all(jnp.isfinite(dx), -1, keepdims=True), dx, 0.0
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "iters", "use_kernel", "camera_solver", "cg_iters"),
+)
 def sharded_bundle_adjust(
     prob: ba_core.BAProblem,
     K: Intrinsics,
@@ -112,10 +192,19 @@ def sharded_bundle_adjust(
     iters: int = 10,
     use_kernel: bool = True,
     lam0: float = 1e-4,
+    camera_solver: str = "direct",
+    cg_iters: int = 48,
 ):
     """LM bundle adjustment with the point axis sharded over `mesh`'s
-    'points' axis. Cameras are replicated; each iteration does exactly two
-    psum's (system reduction + cost). Returns (cam_Tcw, points, cost).
+    'points' axis.
+
+    camera_solver="direct": the [C,C,6,6] reduced system is psum-replicated
+    and factorized densely on every device (exact; fine for small C).
+    camera_solver="pcg": the system is reduce-SCATTERED over camera rows
+    (1/D the collective payload) and solved by distributed block-Jacobi
+    PCG — nothing O(C^2) replicated, no (6C)^3 factorization; the right
+    choice once C or the device count grows.
+    Returns (cam_Tcw, points, cost).
     """
     uk = jnp.asarray(use_kernel)
     pspec = P("points")
@@ -138,9 +227,15 @@ def sharded_bundle_adjust(
             cam, pts, lam, cost = carry
             local = p_shard._replace(cam_Tcw=cam, points=pts)
             S, g_S, _, (Hpp_inv, gp, Wcp) = _local_schur(local, K, lam, uk)
-            S = jax.lax.psum(S, "points")
-            g_S = jax.lax.psum(g_S, "points")
-            dx_cam = _solve_cams(S, g_S, local, lam)
+            if camera_solver == "pcg":
+                dx_cam = _solve_cams_pcg(
+                    S, g_S, local, lam, "points", cg_iters,
+                    mesh.shape["points"],
+                )
+            else:
+                S = jax.lax.psum(S, "points")
+                g_S = jax.lax.psum(g_S, "points")
+                dx_cam = _solve_cams(S, g_S, local, lam)
             cam_new = se3.exp_se3(dx_cam) @ cam
             dxc_obs = dx_cam[local.obs_cam]
             Hpc_dx = jnp.einsum("pojk,poj->pk", Wcp, dxc_obs)

@@ -1,0 +1,135 @@
+"""KITTI-length LIVE tracking session (VERDICT r2 #2): a multi-revolution
+orbit trajectory driven end-to-end through `System` on the TPU with a
+KITTI-scale keyframe budget.
+
+KITTI 00 is ~4500 frames / ~1300 keyframes with multiple same-direction
+loop closures (BASELINE.md §B; reference export paths
+/root/reference/src/System.cc:331-493). The archives are unobtainable here
+(zero egress), so this is the honest stand-in: ~1550 live frames over 2.5
+revolutions of the textured room, which breaks covisibility to the start
+and must close >= 2 loops, with `max_keyframes=512` so the [K,K]
+structures, slot recycling (`ensure_free_slots`), keyframe culling and the
+PCG essential-graph path all run at scale.
+
+Writes LONGRUN_r{N}.json: ATE, per-window fps decay vs map size, loops
+closed, truncation counters, event counts.
+
+Usage: python stress_longrun.py [--frames 1550] [--out LONGRUN_r03.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1550)
+    ap.add_argument("--out", default="LONGRUN_r03.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import os
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs("/root/.cache/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orbslam2_tpu.config import (
+        CameraConfig, MapConfig, OrbConfig, SlamConfig, Sensor, SolverConfig,
+        TrackingConfig,
+    )
+    from orbslam2_tpu.io import synthetic
+    from orbslam2_tpu.pipeline.system import System
+    from orbslam2_tpu.utils.evaluation import ate_rmse
+
+    # 320x240 keeps the staged sequence (~0.7 GB) practical through the
+    # relay; the scale dimension under test is the MAP (512 keyframes,
+    # 64k points), not the image
+    cfg = SlamConfig(
+        sensor=Sensor.RGBD,
+        camera=CameraConfig(fx=240.0, fy=240.0, cx=159.5, cy=119.5, bf=24.0,
+                            fps=30.0, width=320, height=240),
+        orb=OrbConfig(num_features=400, feature_slots=512,
+                      candidates_per_level=1024),
+        map=MapConfig(max_keyframes=512, max_points=65536,
+                      max_local_points=4096),
+        tracking=TrackingConfig(th_depth=130.0, pipeline_depth=2),
+        solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=3,
+                            local_ba_iters_second=4,
+                            ba_max_local_kfs=24, ba_max_fixed_kfs=16),
+    )
+
+    rev = 620  # frames per revolution
+    n = args.frames
+    base = synthetic.textured_sequence(n_frames=rev, kind="orbit", cam=cfg.camera)
+    reps = (n + rev - 1) // rev
+    poses = np.concatenate([base.poses] * reps)[:n]
+    seq = dataclasses.replace(base, poses=poses)
+
+    t_render0 = time.perf_counter()
+    slam = System(cfg)
+    wall = []
+    window = 100
+    decay = []
+    warm = 10
+    t_run0 = None
+    for i in range(n):
+        img, depth = seq.frame(i)
+        if i == warm:
+            t_run0 = time.perf_counter()
+        t0 = time.perf_counter()
+        slam.track_rgbd(jnp.asarray(img), jnp.asarray(depth), timestamp=i / 30.0)
+        wall.append(time.perf_counter() - t0)
+        if i >= warm and (i + 1) % window == 0:
+            w = wall[max(i - window + 1, warm):]
+            decay.append({
+                "frame": i + 1,
+                "fps": round(len(w) / sum(w), 2),
+                "keyframes": slam.num_keyframes(),
+                "points": slam.num_points(),
+            })
+            print(f"# frame {i+1}: {decay[-1]}", flush=True)
+    slam.flush()
+    total = time.perf_counter() - t_run0
+
+    ts, poses_est, tracked = slam.frame_poses()
+    rmse = ate_rmse(poses_est[tracked], seq.poses[tracked], align=True)
+    lc = slam.loop_closer
+    counts = slam.log.counts()
+    out = {
+        "metric": "longrun_live_session",
+        "frames": n,
+        "fps_overall": round((n - warm) / total, 2),
+        "ate_rmse_m": round(float(rmse), 4),
+        "lost_frames": int((~tracked).sum()),
+        "keyframes_live": slam.num_keyframes(),
+        "points_live": slam.num_points(),
+        "loops_closed": lc.loops_closed if lc else 0,
+        "edge_truncations": lc.edge_truncations if lc else 0,
+        "obs_truncations": lc.obs_truncations if lc else 0,
+        "fps_decay": decay,
+        "event_counts": counts,
+        "max_frame_ms": round(max(wall[warm:]) * 1e3, 1),
+        "p99_frame_ms": round(float(np.percentile(wall[warm:], 99)) * 1e3, 1),
+        "device": str(jax.devices()[0]),
+        "note": "2.5-revolution orbit (covisibility to the start breaks"
+                " each revolution); honest stand-in for KITTI 00 which is"
+                " unobtainable here (zero egress)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

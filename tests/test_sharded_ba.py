@@ -23,6 +23,29 @@ def test_sharded_matches_single(rng, n_devices):
     assert np.median(perr) < 5e-3
 
 
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_pcg_camera_solve(rng, n_devices):
+    """The reduce-scatter + distributed block-Jacobi-PCG camera solve
+    converges to the same optimum as the replicated direct factorization
+    (inexact inner solves still drive LM to the fixed point)."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    cams_true, pts_true, prob = make_ba_problem(rng, n_pts=256, n_fixed=2)
+    mesh = sharded_ba.make_points_mesh(n_devices)
+    cam, pts, cost = sharded_ba.sharded_bundle_adjust(
+        prob, K, mesh, iters=15, camera_solver="pcg", cg_iters=48
+    )
+    assert cam_errors(cam, cams_true).max() < 1e-3
+    perr = np.linalg.norm(np.asarray(pts) - pts_true, axis=-1)
+    assert np.median(perr) < 5e-3
+    _, _, cost_direct = sharded_ba.sharded_bundle_adjust(
+        prob, K, mesh, iters=15
+    )
+    # noiseless problem: both drive the cost to ~0
+    np.testing.assert_allclose(float(cost), float(cost_direct),
+                               rtol=5e-2, atol=1e-6)
+
+
 def test_sharded_equals_unsharded_cost(rng):
     cams_true, pts_true, prob = make_ba_problem(rng, n_pts=256, n_fixed=2, pix_noise=0.5)
     mesh1 = sharded_ba.make_points_mesh(1)
