@@ -127,6 +127,12 @@ class TrackingConfig:
     # N frames late, like the reference's asynchronous
     # LocalMapping/LoopClosing threads.
     pipeline_depth: int = 0
+    # defer local BA to its OWN device dispatch issued at keyframe-resolve
+    # time (the reference's LocalMapping thread runs BA asynchronously the
+    # same way, src/LocalMapping.cc:92-97): the keyframe frame's host pull
+    # stops paying the ~23 ms BA tail, and the BA result chains into later
+    # frames on device. Only active in pipelined (turbo) mode.
+    defer_local_ba: bool = True
     # Hamming gate for motion-model / local-map projection searches. The
     # reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) tuned to its
     # bit_pattern_31_; our regenerated BRIEF produces true-match distances

@@ -513,26 +513,7 @@ def keyframe_full_step(
             max_points=max_points, obs_slots=obs_slots,
             iters1=iters1, iters2=iters2,
         )
-        # Re-anchor this keyframe's single-observer depth-seeded points to
-        # the POST-BA pose. They were backprojected at the tracked (pre-BA)
-        # pose; BA moves the keyframe but cannot constrain 1-observation
-        # points, leaving a dense fresh cloud offset by the BA correction —
-        # the next frames then track against the stale cloud and the pose
-        # error is amplified at every keyframe insertion.
-        pid = state.kf_point_idx[kf_id]
-        pidc = jnp.clip(pid, 0, state.capacity_mp - 1)
-        single = (
-            (pid >= 0)
-            & (jnp.sum(state.mp_obs_kf[pidc] >= 0, axis=1) == 1)
-            & (state.mp_first_kf[pidc] == kf_id)
-            & (frame.depth > 0)
-        )
-        pc = cam_geo.backproject(frame.xy, frame.depth, K)
-        pw = se3.apply(se3.inverse(state.kf_Tcw[kf_id]), pc)
-        pid_w = jnp.where(single, pid, state.capacity_mp)
-        state = state._replace(
-            mp_pos=state.mp_pos.at[pid_w].set(pw, mode="drop")
-        )
+        state = _reanchor_depth_seeds.__wrapped__(state, kf_id, K)
     # keyframe-culling candidates (reference KeyFrameCulling,
     # src/LocalMapping.cc:684-752 sweeps ALL local keyframes every
     # iteration): redundancy of the top covisible neighbors is computed
@@ -649,6 +630,7 @@ class FrameStepOut(NamedTuple):
         "has_distortion", "n_neighbors", "create_close_points",
         "max_local", "max_fixed", "max_points", "obs_slots", "iters1", "iters2",
         "max_gap", "min_gap", "kf_ratio", "use_close_cond", "sensor",
+        "defer_ba",
     ),
     donate_argnums=(0,),
 )
@@ -696,6 +678,7 @@ def frame_and_keyframe_step(
     kf_ratio: float = 0.75,
     use_close_cond: bool = True,
     sensor: str = "rgbd",
+    defer_ba: bool = False,
 ):
     """The ENTIRE per-frame pipeline — frame build, tracking, on-device
     keyframe policy, and (conditionally, via lax.cond) keyframe insertion +
@@ -777,7 +760,9 @@ def frame_and_keyframe_step(
     def kf_branch(st):
         # BA only from the third keyframe on; rerun the no-BA variant would
         # double-compile, so mask: when run_ba is false the caller has
-        # n_keyframes < 2, where BA on <3 cameras is harmless (gauge-fixed)
+        # n_keyframes < 2, where BA on <3 cameras is harmless (gauge-fixed).
+        # With defer_ba the host dispatches `deferred_local_ba` as its own
+        # program at resolve time instead (LocalMapping-thread semantics).
         return keyframe_full_step.__wrapped__(
             st, frame, out.Tcw, out.point_idx, probation_window, K, p,
             level_sigma2, inv_sigma2,
@@ -785,7 +770,8 @@ def frame_and_keyframe_step(
             covis_threshold=covis_threshold, n_neighbors=n_neighbors,
             num_levels=num_levels, create_close_points=create_close_points,
             max_local=max_local, max_fixed=max_fixed, max_points=max_points,
-            obs_slots=obs_slots, iters1=iters1, iters2=iters2, run_ba=True,
+            obs_slots=obs_slots, iters1=iters1, iters2=iters2,
+            run_ba=not defer_ba,
         )
 
     def no_kf(st):
@@ -821,6 +807,65 @@ def frame_and_keyframe_step(
         ).astype(jnp.int32),
     )
     return state, frame, res
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _reanchor_depth_seeds(state: ms.MapState, kf_id, K: cam_geo.Intrinsics):
+    """Re-anchor kf_id's single-observer depth-seeded points to its CURRENT
+    (post-BA) pose. They were backprojected at the tracked (pre-BA) pose;
+    BA moves the keyframe but cannot constrain 1-observation points,
+    leaving a dense fresh cloud offset by the BA correction — the next
+    frames then track against the stale cloud and the pose error is
+    amplified at every keyframe insertion. Reads the frame data from the
+    map (kf_xy/kf_depth were stored at insertion)."""
+    pid = state.kf_point_idx[kf_id]
+    pidc = jnp.clip(pid, 0, state.capacity_mp - 1)
+    depth = state.kf_depth[kf_id]
+    single = (
+        (pid >= 0)
+        & (jnp.sum(state.mp_obs_kf[pidc] >= 0, axis=1) == 1)
+        & (state.mp_first_kf[pidc] == kf_id)
+        & (depth > 0)
+    )
+    pc = cam_geo.backproject(state.kf_xy[kf_id], depth, K)
+    pw = se3.apply(se3.inverse(state.kf_Tcw[kf_id]), pc)
+    pid_w = jnp.where(single, pid, state.capacity_mp)
+    return state._replace(
+        mp_pos=state.mp_pos.at[pid_w].set(pw, mode="drop")
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_local", "max_fixed", "max_points", "obs_slots",
+                     "iters1", "iters2"),
+    donate_argnums=(0,),
+)
+def deferred_local_ba(
+    state: ms.MapState,
+    kf_id,
+    inv_sigma2,
+    K: cam_geo.Intrinsics,
+    max_local: int = 32,
+    max_fixed: int = 64,
+    max_points: int = 8192,
+    obs_slots: int = 16,
+    iters1: int = 5,
+    iters2: int = 10,
+) -> ms.MapState:
+    """Local BA as its OWN dispatch, issued by the host at keyframe-resolve
+    time instead of inside the fused keyframe program (the reference's
+    LocalMapping thread runs BA asynchronously the same way,
+    src/LocalMapping.cc:92-97). Fire-and-forget: the result map chains into
+    the next frame's dispatch on device; the host never waits on it — the
+    keyframe frame's host pull stops paying the ~23 ms BA tail."""
+    state = local_ba_step.__wrapped__(
+        state, kf_id, inv_sigma2, K,
+        max_local=max_local, max_fixed=max_fixed,
+        max_points=max_points, obs_slots=obs_slots,
+        iters1=iters1, iters2=iters2,
+    )
+    return _reanchor_depth_seeds.__wrapped__(state, kf_id, K)
 
 
 @partial(

@@ -692,10 +692,14 @@ class LocalMapper:
         if n:
             window[:n] = self.recent_points[-n:]
         self._window_n = n
+        # host-side snapshot for pipelined callers (after_keyframe's
+        # window_ids) — reading it back off-device would cost a relay pull
+        self._window_np = window
         return jnp.asarray(window)
 
     def after_keyframe(self, state: ms.MapState, kf_id: int, new_pids, keep,
-                       cull_ids=None, cull_red=None) -> ms.MapState:
+                       cull_ids=None, cull_red=None,
+                       window_ids=None) -> ms.MapState:
         """Host bookkeeping after the fused keyframe program: update the
         probation window and run keyframe culling (reference
         KeyFrameCulling, src/LocalMapping.cc:684-752).
@@ -708,10 +712,25 @@ class LocalMapper:
         on-demand check."""
         self.n_keyframes += 1
         W = self.RECENT_WINDOW
-        n = self._window_n
-        if n:
-            kept = np.asarray(keep)[:n]
-            self.recent_points = self.recent_points[-n:][kept]
+        if window_ids is not None:
+            # pipelined caller: `keep` was computed against the window
+            # SNAPSHOT taken at dispatch time, which may predate other
+            # resolves' mutations of recent_points (e.g. a loop-correction
+            # absorb draining several keyframes back-to-back). Apply the
+            # cull as a SET difference against the snapshot ids so interim
+            # appends survive and positions never misalign.
+            wids = np.asarray(window_ids)
+            kept = np.asarray(keep)[: len(wids)]
+            removed = wids[(wids >= 0) & ~kept]
+            if len(removed):
+                self.recent_points = self.recent_points[
+                    ~np.isin(self.recent_points, removed)
+                ]
+        else:
+            n = self._window_n
+            if n:
+                kept = np.asarray(keep)[:n]
+                self.recent_points = self.recent_points[-n:][kept]
         fresh = np.asarray(new_pids)
         fresh = fresh[fresh >= 0].astype(np.int32)
         if len(fresh):

@@ -32,14 +32,20 @@ class _TurboRec:
     `epoch` is the map epoch at dispatch time (System._map_epoch): results
     from a pre-reset epoch must never be folded into the new map."""
 
-    __slots__ = ("res", "frame", "inputs", "prev_anchors", "epoch")
+    __slots__ = ("res", "frame", "inputs", "prev_anchors", "epoch",
+                 "window_ids")
 
-    def __init__(self, res, frame, inputs, prev_anchors, epoch):
+    def __init__(self, res, frame, inputs, prev_anchors, epoch,
+                 window_ids=None):
         self.res = res
         self.frame = frame
         self.inputs = inputs
         self.prev_anchors = prev_anchors
         self.epoch = epoch
+        # dispatch-time probation-window snapshot (host ids): the device
+        # `window_keep` mask indexes THIS array, not whatever the mapper's
+        # rolling window looks like by resolve time
+        self.window_ids = window_ids
 
 
 class System:
@@ -216,10 +222,12 @@ class System:
             self.map = self.local_mapper.after_keyframe(
                 self.map, kf_id, new_pids, keep,
                 cull_ids=cull_ids, cull_red=cull_red,
+                window_ids=s.window_ids,
             )
             self._drain_culls()
             if self.loop_closer is not None:
                 self.loop_closer.add_keyframe_to_db(self.map, kf_id)
+            self._dispatch_deferred_ba(kf_id)
             t = self.tracker
             t.map = self.map
             t.n_keyframes += 1
@@ -329,6 +337,7 @@ class System:
             kf_ratio=0.75 if cfg.sensor != Sensor.MONOCULAR else 0.9,
             use_close_cond=cfg.sensor != Sensor.MONOCULAR,
             sensor=sensor,
+            defer_ba=cfg.tracking.defer_local_ba,
         )
         self.map = state
         t.map = state
@@ -356,7 +365,7 @@ class System:
         except (AttributeError, RuntimeError):
             pass
         return _TurboRec(res, frame, (sensor, a, b, timestamp), prev_anchors,
-                         self._map_epoch)
+                         self._map_epoch, window_ids=mapper._window_np)
 
     def _turbo_resolve(self, rec) -> Optional[str]:
         """Host pull + bookkeeping for a dispatched frame. Returns the
@@ -447,12 +456,14 @@ class System:
             self.map = mapper.after_keyframe(
                 self.map, kf_id, new_pids_np, keep_np,
                 cull_ids=cull_ids_np, cull_red=cull_red_np,
+                window_ids=rec.window_ids,
             )
             self._drain_culls()
             if self.enable_loop_closing:
                 # DISPATCH detection only; the result is pulled on a later
                 # frame so the round trip overlaps tracking
                 event = self._dispatch_loop_detection(kf_id) or event
+            self._dispatch_deferred_ba(kf_id)
             t.map = self.map
             # the dispatch-epoch pose: consistent with the pulled Tcw_np
             # even when a correction has since moved this keyframe (the
@@ -582,6 +593,29 @@ class System:
             self._anchor = None
             return True
         return False
+
+    def _dispatch_deferred_ba(self, kf_id: int):
+        """Fire-and-forget local BA for a just-resolved keyframe (the fused
+        keyframe program skipped it under cfg.tracking.defer_local_ba). The
+        result map chains into later dispatches on device; the host never
+        pulls it. Reference analogue: the LocalMapping thread's BA runs
+        after tracking has already moved on (src/LocalMapping.cc:92-97)."""
+        if not self.cfg.tracking.defer_local_ba:
+            return
+        if self.localization_only or not self.enable_mapping:
+            return
+        from orbslam2_tpu.pipeline import fused
+
+        sc = self.cfg.solver
+        self.map = fused.deferred_local_ba(
+            self.map, jnp.int32(kf_id), self.local_mapper.inv_sigma2,
+            self.tracker.K,
+            max_local=sc.ba_max_local_kfs, max_fixed=sc.ba_max_fixed_kfs,
+            max_points=sc.ba_max_points,
+            obs_slots=min(sc.ba_max_obs_per_point, int(self.map.obs_slots)),
+            iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
+        )
+        self.tracker.map = self.map
 
     def _step_async_gba(self) -> bool:
         """Dispatch one slice of an in-flight time-sliced global BA (see
