@@ -118,6 +118,11 @@ class TrackingConfig:
     # minimum frames between keyframes (reference mMinFrames = 0; raise to
     # damp insertion rate in the synchronous pipeline)
     kf_min_gap: int = 0
+    # hard cap on frames between keyframes; 0 = the reference's fps/2
+    # (src/Tracking.cc:1072 mMaxFrames = fps). Fast-rotating trajectories
+    # at high resolution decay matches within the default window — a
+    # tighter cap keeps fresh depth seeds coming.
+    kf_max_gap: int = 0
     # pipelined tracking: 0 = resolve each frame's host pull immediately
     # (exact reference-order semantics; the default for tests); N >= 1 =
     # keep up to N frames in flight and defer each pull N frames, so the
@@ -133,6 +138,12 @@ class TrackingConfig:
     # stops paying the ~23 ms BA tail, and the BA result chains into later
     # frames on device. Only active in pipelined (turbo) mode.
     defer_local_ba: bool = True
+    # motion-model projection search radius in LEVEL-0 pixels (reference
+    # src/Tracking.cc:139: th=7 stereo/RGB-D, 15 mono; scaled by octave).
+    # 0 = the reference per-sensor default. Fast rotation (deg-scale per
+    # frame) at high resolution needs a wider gate: the velocity model's
+    # angular error converts to 2x the pixels at 2x the focal length.
+    search_radius: float = 0.0
     # Hamming gate for motion-model / local-map projection searches. The
     # reference uses TH_HIGH=100 (src/ORBmatcher.cc:37) tuned to its
     # bit_pattern_31_; our regenerated BRIEF produces true-match distances

@@ -332,7 +332,7 @@ class System:
             max_points=sc.ba_max_points,
             obs_slots=min(sc.ba_max_obs_per_point, int(self.map.obs_slots)),
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
-            max_gap=max(int(cfg.camera.fps) // 2, 5),
+            max_gap=(cfg.tracking.kf_max_gap or max(int(cfg.camera.fps) // 2, 5)),
             min_gap=cfg.tracking.kf_min_gap,
             kf_ratio=0.75 if cfg.sensor != Sensor.MONOCULAR else 0.9,
             use_close_cond=cfg.sensor != Sensor.MONOCULAR,

@@ -152,15 +152,33 @@ def gather_local_map(
     score = jnp.where(state.kf_valid, score, -1)
     _, local_kfs = jax.lax.top_k(score, max_local_kfs)
     local_kf_mask = score[local_kfs] > 0
-    # local points: any point bound in a local KF
-    flags = jnp.zeros(P + 1, bool)
+    # local points: any point bound in a local KF. When they overflow
+    # max_local_points, keep the points of the MOST RELEVANT keyframes
+    # first (top_k order = voting score), newest slot on ties — a plain
+    # first-K-set-flags cut kept the OLDEST slots and silently dropped
+    # every newly created point once the local window outgrew the cap,
+    # starving tracking of exactly the points covering new scenery
+    # (full-res orbit: inliers sawtoothed down and tracking died).
+    L = local_kfs.shape[0]
     ids = state.kf_point_idx[local_kfs]  # [L, S]
     ids_w = jnp.where(local_kf_mask[:, None] & (ids >= 0), ids, P)
-    flags = flags.at[ids_w.reshape(-1)].set(True)
-    flags = flags.at[P].set(False)
-    flags = flags[:P] & state.mp_valid
-    local_points = jnp.nonzero(flags, size=max_local_points, fill_value=P)[0]
-    local_point_mask = local_points < P
+    # rank of the best (lowest-index = highest-score) local KF binding
+    # each point; L = unbound
+    rank_l = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None], ids_w.shape
+    )
+    pri = jnp.full(P + 1, L, jnp.int32).at[ids_w.reshape(-1)].min(
+        rank_l.reshape(-1)
+    )[:P]
+    flagged = (pri < L) & state.mp_valid
+    # score: relevance first, then newest slot id as tie-break
+    score_pt = jnp.where(
+        flagged,
+        (L - pri).astype(jnp.int32) * (P + 1) + jnp.arange(P, dtype=jnp.int32),
+        -1,
+    )
+    top_score, local_points = jax.lax.top_k(score_pt, max_local_points)
+    local_point_mask = top_score >= 0
     local_points = jnp.clip(local_points, 0, P - 1)
     return local_kfs, local_kf_mask, local_points, local_point_mask, ref_kf
 
@@ -693,6 +711,8 @@ class Tracker:
         from orbslam2_tpu.pipeline import fused
 
         radius_th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        if self.cfg.tracking.search_radius > 0:
+            radius_th = float(self.cfg.tracking.search_radius)
         self._params = fused.TrackParams(
             scale_factors=self.scale_factors,
             inv_sigma2=self.inv_sigma2,
