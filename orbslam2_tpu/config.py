@@ -232,6 +232,13 @@ class VocabConfig:
     # temporally-adjacent keyframes that fell just below the covisibility
     # threshold need an explicit guard
     recent_exclusion: int = 8
+    # precompile the FULL loop-correction chain (Sim3 RANSAC through
+    # pose graph + global-BA slices) at loop-closer init. On the
+    # remote-compile TPU this moves minutes of first-loop compile stalls
+    # to session startup (LONGRUN_r03 measured a 215 s correction frame
+    # without it). Off by default: the hermetic CPU test suite would pay
+    # the chain's compile in every session that never closes a loop.
+    warmup_correction: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

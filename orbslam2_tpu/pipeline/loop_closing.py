@@ -569,6 +569,95 @@ class LoopCloser:
                 break
             v *= 4
 
+    def warmup_correction(self, state: ms.MapState):
+        """Precompile the FULL loop-correction chain (ComputeSim3 through
+        CorrectLoop + the first global-BA slice) by driving it once over
+        the live (near-empty) map with degenerate inputs and discarding
+        every result.
+
+        On the remote-compile TPU each of these ~10 programs costs tens of
+        seconds to minutes to build; without this the FIRST real loop
+        closure stalls tracking for minutes (LONGRUN_r03: a 215 s frame).
+        The reference pays its analogous startup cost loading the 100 MB
+        DBoW2 vocabulary before tracking starts (src/System.cc:68-78);
+        paying compile cost at session start is the TPU-native equivalent.
+        All shapes match the real calls exactly (fixed-capacity pytree), so
+        the executables land in XLA's cache keyed by the same signatures.
+        """
+        kf0 = jnp.int32(0)
+        nl = self.cfg.orb.num_levels
+        fix_scale = self.cfg.sensor != Sensor.MONOCULAR
+        key = jax.random.PRNGKey(0)
+        S = state.kf_desc.shape[1]
+
+        # --- ComputeSim3 stages (degenerate self-match, results unused) --
+        pidc = jnp.clip(state.kf_point_idx[0], 0, state.capacity_mp - 1)
+        vc = state.kf_feat_valid[0] & (state.kf_point_idx[0] >= 0) & state.mp_valid[pidc]
+        res = match.search_brute(
+            state.kf_desc[0], vc, state.kf_angle[0],
+            state.kf_desc[0], vc, state.kf_angle[0],
+            max_dist=match.TH_LOW, ratio=0.75, check_rotation=True,
+        )
+        f2 = res.best_idx
+        matched = f2 >= 0
+        f2c = jnp.clip(f2, 0, S - 1)
+        p1 = state.mp_pos[pidc]
+        p2 = state.mp_pos[pidc[f2c]]
+        s1 = self.level_sigma2[jnp.clip(state.kf_octave[0], 0, nl - 1)]
+        s2 = self.level_sigma2[jnp.clip(state.kf_octave[0, f2c], 0, nl - 1)]
+        sr = horn.ransac_sim3(
+            p1, p2, matched,
+            state.kf_xy[0], state.kf_xy[0, f2c], s1, s2,
+            state.kf_Tcw[0], state.kf_Tcw[0], self.K, key,
+            iters=self.cfg.solver.sim3_ransac_iters,
+            min_inliers=self.cfg.solver.sim3_min_inliers,
+            fix_scale=fix_scale,
+        )
+        f2_ext = sim3_match_extend(
+            state, kf0, kf0, sr.s, sr.R, sr.t,
+            self.K, self.scale_factors, num_levels=nl,
+        )
+        f2_all = jnp.where(matched & sr.inliers, f2, f2_ext)
+        pc1, pc2, uv1, uv2, inv1, inv2, pmask = build_sim3_pairs(
+            state, kf0, kf0, f2_all, self.level_sigma2
+        )
+        opt = sim3_opt.optimize_sim3(
+            sr.s, sr.R, sr.t, pc1, pc2, uv1, uv2, inv1, inv2, pmask,
+            self.K, fix_scale,
+        )
+        loop_pts, loop_mask = gather_loop_points(
+            state, kf0, covis_threshold=self.cfg.map.covis_threshold,
+            num_levels=nl,
+        )
+        S_cw = sim3.compose((opt.s, opt.R, opt.t), sim3.from_se3(state.kf_Tcw[0]))
+        guided_projection_count(
+            state, kf0, loop_pts, loop_mask,
+            S_cw[0], S_cw[1], S_cw[2], jnp.where(opt.inliers, f2_all, -1),
+            self.K, self.scale_factors, num_levels=nl,
+        )
+
+        # --- CorrectLoop + async-GBA slices on a THROWAWAY state ---------
+        log, self.log = self.log, None
+        saved = (self.loops_closed, self.edge_truncations,
+                 self.obs_truncations, self.last_loop_kf, self._gba)
+        try:
+            self._loop_pts = (loop_pts, loop_mask)  # compiles SearchAndFuse
+            ident = (jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
+                     jnp.zeros(3, jnp.float32))
+            st = self.correct_loop(
+                state, 0, 0, ident, run_global_ba=True,
+                matches=jnp.full((S,), -1, jnp.int32),
+            )
+            while self._gba is not None:  # slice + fold-in programs
+                st, _ = self.step_gba_async(st)
+            jax.block_until_ready(st.kf_Tcw)
+        finally:
+            (self.loops_closed, self.edge_truncations, self.obs_truncations,
+             self.last_loop_kf, self._gba) = saved
+            self._loop_pts = None
+            self._guided_pt = None
+            self.log = log
+
     def _retrain_vocabulary(self, state: ms.MapState):
         """K-medians retrain on the reservoir; rebuild every present DB row
         with the new codebook. Vocab size follows data volume in power-of-2

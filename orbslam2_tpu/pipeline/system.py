@@ -552,6 +552,8 @@ class System:
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook,
                                           log=self.log)
             self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
+            if self.cfg.vocab.warmup_correction:
+                self.loop_closer.warmup_correction(state)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
 
     def _dispatch_loop_detection(self, kf_id: int) -> bool:

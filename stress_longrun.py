@@ -46,7 +46,7 @@ def main():
 
     from orbslam2_tpu.config import (
         CameraConfig, MapConfig, OrbConfig, SlamConfig, Sensor, SolverConfig,
-        TrackingConfig,
+        TrackingConfig, VocabConfig,
     )
     from orbslam2_tpu.io import synthetic
     from orbslam2_tpu.pipeline.system import System
@@ -67,6 +67,9 @@ def main():
         solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=3,
                             local_ba_iters_second=4,
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
+        # pay the loop-correction chain's remote compiles at startup, not
+        # in the middle of the first loop closure (a 215 s frame without)
+        vocab=VocabConfig(warmup_correction=True),
     )
 
     rev = 620  # frames per revolution
@@ -106,6 +109,10 @@ def main():
     rmse = ate_rmse(poses_est[tracked], seq.poses[tracked], align=True)
     lc = slam.loop_closer
     counts = slam.log.counts()
+    lost_at = [int(e["frame_id"]) for e in slam.log.events
+               if e["event"] == "frame" and e.get("state") == "LOST"]
+    loops_at = [int(e.get("matched_kf", -1)) for e in slam.log.events
+                if e["event"] == "loop_closed"]
     out = {
         "metric": "longrun_live_session",
         "frames": n,
@@ -119,6 +126,8 @@ def main():
         "obs_truncations": lc.obs_truncations if lc else 0,
         "fps_decay": decay,
         "event_counts": counts,
+        "lost_at_frames": lost_at,
+        "loop_closed_at_kfs": loops_at,
         "max_frame_ms": round(max(wall[warm:]) * 1e3, 1),
         "p99_frame_ms": round(float(np.percentile(wall[warm:], 99)) * 1e3, 1),
         "device": str(jax.devices()[0]),
