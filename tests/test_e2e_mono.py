@@ -44,13 +44,74 @@ def test_mono_tracking_ate():
 
     assert slam.get_tracking_state() == TrackState.OK
     ts, poses, tracked = slam.frame_poses()
-    # mono: allow the first few frames before initialization succeeds
+    # mono: the only untracked frames allowed are the initialization
+    # window itself (H/F bootstrap needs a few frames of baseline);
+    # measured: 4 untracked, ATE 0.0098 m
     n_lost = int(np.count_nonzero(~tracked))
-    assert n_lost <= 6, f"{n_lost} untracked frames"
+    assert n_lost <= 4, f"{n_lost} untracked frames"
+    assert tracked[6:].all(), "tracking dropped after initialization"
     sel = tracked
     rmse = ate_rmse(poses[sel], seq.poses[sel], align=True, with_scale=True)
-    # monocular without loop closure drifts in scale; gate loosely here
-    # (loop closing is exercised separately)
-    assert rmse < 0.25, rmse
+    assert rmse < 0.05, rmse
     assert slam.num_keyframes() >= 3
     assert slam.num_points() > 200
+
+
+def _mono_orbit_cfg():
+    """Full-resolution mono orbit config: at 320x240 the orbit's KF-pair
+    parallax sits right at the triangulation gate (cos 0.9998 ~= 1.15
+    degrees; reference src/LocalMapping.cc:317) and the map starves —
+    at 640x480 the same geometry triangulates reliably."""
+    return SlamConfig(
+        sensor=Sensor.MONOCULAR,
+        camera=CameraConfig(fx=480.0, fy=480.0, cx=319.5, cy=239.5,
+                            bf=48.0, fps=30.0),
+        orb=OrbConfig(num_features=1200, feature_slots=1280,
+                      candidates_per_level=4096),
+        map=MapConfig(max_keyframes=96, max_points=16384,
+                      max_local_points=4096),
+        tracking=TrackingConfig(th_depth=130.0, mono_init_min_matches=50,
+                                kf_min_gap=2),
+    )
+
+
+@pytest.mark.slow
+def test_mono_orbit_loop_corrects_scale():
+    """Monocular scale-drift correction through the 7-DoF essential graph
+    (VERDICT r2 #6) — the stated purpose of Sim3 pose-graph optimization
+    (reference src/Optimizer.cc:773-1039). A full 360-degree orbit plus
+    revisit, run twice: with loop closing the drifted scale is pulled
+    back (measured Sim3-aligned ATE 0.0124 m vs 0.0285 m without — a
+    single global Sim3 alignment cannot absorb scale DRIFT, only a
+    constant scale offset, so the corrected run must align strictly
+    better)."""
+    import dataclasses
+
+    cfg = _mono_orbit_cfg()
+    seq = synthetic.textured_sequence(n_frames=170, kind="orbit",
+                                      cam=cfg.camera)
+    seq = dataclasses.replace(
+        seq, poses=np.concatenate([seq.poses, seq.poses[:35]])
+    )
+    rendered = [seq.frame(i)[0] for i in range(len(seq))]
+
+    def run(enable_loop):
+        slam = System(cfg, enable_loop_closing=enable_loop)
+        for i, img in enumerate(rendered):
+            slam.track_monocular(img, timestamp=i / 30.0)
+        slam.flush()
+        ts, poses, tracked = slam.frame_poses()
+        rmse = ate_rmse(poses[tracked], seq.poses[tracked],
+                        align=True, with_scale=True)
+        loops = slam.loop_closer.loops_closed if slam.loop_closer else 0
+        return float(rmse), int((~tracked).sum()), loops
+
+    ate_loop, lost_loop, loops = run(True)
+    ate_drift, lost_drift, _ = run(False)
+
+    assert loops >= 1, "mono loop did not close"
+    assert lost_loop <= 2, f"lost {lost_loop} frames with loop closing"
+    assert ate_loop < 0.02, ate_loop
+    # scale drift correction: >= 1.8x better than the uncorrected run
+    # (measured 2.3x; margin for seed/scheduling variance)
+    assert ate_drift > 1.8 * ate_loop, (ate_drift, ate_loop)
