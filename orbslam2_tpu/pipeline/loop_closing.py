@@ -365,7 +365,6 @@ def _bow_rows(kf_desc, kf_feat_valid, present, codebook):
 
 
 @jax.jit
-@jax.jit
 def _gba_fold_in(
     state: ms.MapState,
     cam_opt,          # [K, 4, 4] optimized keyframe poses (snapshot problem)

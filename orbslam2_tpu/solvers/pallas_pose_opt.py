@@ -310,8 +310,12 @@ def pose_optimize_pallas(
 
 
 def pose_optimize_fast(Tcw0, obs, K, rounds: int = 4, iters: int = 10):
-    """Dispatch: fused Pallas kernel on TPU, jnp reference elsewhere."""
+    """Dispatch: fused Pallas kernel on TPU, jnp reference elsewhere.
+
+    ORBSLAM_TPU_NO_PALLAS=1 forces the jnp path on TPU (A/B debugging)."""
+    import os
+
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon"):
+    if platform in ("tpu", "axon") and not os.environ.get("ORBSLAM_TPU_NO_PALLAS"):
         return pose_optimize_pallas(Tcw0, obs, K, rounds=rounds, iters=iters)
     return pose_opt.pose_optimize(Tcw0, obs, K, rounds=rounds, iters=iters)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--frames", type=int, default=1550)
     ap.add_argument("--out", default="LONGRUN_r03.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--events", default=None,
+                    help="dump the full JSONL event stream here for analysis")
     args = ap.parse_args()
 
     import os
@@ -137,6 +139,11 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
+    if args.events:
+        with open(args.events, "w") as f:
+            for e in slam.log.events:
+                f.write(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
+                                    for k, v in e.items()}) + "\n")
     print(json.dumps(out))
 
 
