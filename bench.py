@@ -157,12 +157,12 @@ def main():
                 "steady_ms": round(float(np.median(tail)) * 1e3, 1),
             }
 
-    # stereo + mono segments through their own one-dispatch turbo programs
-    # (VERDICT r2 #6: mono/stereo fps recorded in the bench artifact; each
-    # pays a fresh remote compile at startup, skippable via --rgbd-only;
-    # the headline stays the RGB-D number)
+    # stereo + mono segments through their own one-dispatch turbo programs.
+    # OPT-IN (--all-sensors): each pays a fresh remote compile at startup
+    # which pushed the default bench past the driver budget in round 3
+    # (BENCH_r03 rc=124); the headline stays the RGB-D number.
     sensor_fps = {}
-    if "--rgbd-only" not in sys.argv and not profile:
+    if "--all-sensors" in sys.argv and not profile:
         from orbslam2_tpu.pipeline.system import System
 
         for name, kind in (("stereo", "forward"), ("mono", "lateral")):

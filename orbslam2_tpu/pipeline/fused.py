@@ -296,7 +296,8 @@ def track_frame_rgbd(
 
 @partial(
     jax.jit,
-    static_argnames=("n_neighbors", "num_levels", "create_close_points", "all_depths"),
+    static_argnames=("n_neighbors", "n2_neighbors", "num_levels",
+                     "create_close_points", "all_depths"),
     donate_argnums=(0,),
 )
 def keyframe_step(
@@ -311,6 +312,7 @@ def keyframe_step(
     baseline: float = 0.1,
     covis_threshold: int = 15,
     n_neighbors: int = 5,
+    n2_neighbors: int = 5,
     num_levels: int = 8,
     create_close_points: bool = True,
     all_depths: bool = False,
@@ -411,36 +413,50 @@ def keyframe_step(
     )
 
     # 4) fuse with neighbors, both directions — the reference's
-    # SearchInNeighbors (src/LocalMapping.cc:487-575): Fuse a SNAPSHOT of
-    # this keyframe's matches into each target, then fuse the DEDUPED union
-    # of all targets' points back into this keyframe once. The expensive
-    # dense matches batch over targets (vmap) against the snapshot; the
-    # cheap scatter updates apply sequentially so conflict arbitration
-    # reads current observation counts.
+    # SearchInNeighbors (src/LocalMapping.cc:487-575): targets are the
+    # first-level covisible neighbors PLUS n2_neighbors second-level
+    # neighbors of each (reference :497-515 extends with 5 each). Fuse a
+    # SNAPSHOT of this keyframe's matches into each target, then fuse the
+    # DEDUPED union of all targets' points back into this keyframe once.
+    # The expensive dense matches batch over targets (vmap) against the
+    # snapshot; the cheap scatter updates apply sequentially so conflict
+    # arbitration reads current observation counts.
     bounds = (p.bounds[0], p.bounds[1], p.bounds[2], p.bounds[3])
     mine = state.kf_point_idx[kf_id]
+    Kcap = state.capacity_kf
+    w2 = state.covis[neigh] * state.kf_valid          # [n1, K]
+    w2 = jnp.where(neigh_ok[:, None], w2, 0)
+    w2 = w2.at[:, kf_id].set(0)                       # not back to self
+    _, neigh2 = jax.lax.top_k(w2, n2_neighbors)       # [n1, n2]
+    ok2 = jnp.take_along_axis(w2, neigh2, axis=1) > 0
+    targets = jnp.concatenate([neigh, neigh2.reshape(-1)])
+    targets_ok = jnp.concatenate([neigh_ok, ok2.reshape(-1)])
+    # dedupe targets (second-level sets overlap first-level and each other)
+    Tn = targets.shape[0]
+    tpos = jnp.full(Kcap, Tn, jnp.int32).at[
+        jnp.where(targets_ok, targets, Kcap)
+    ].min(jnp.arange(Tn, dtype=jnp.int32), mode="drop")
+    targets_ok = targets_ok & (tpos[targets] == jnp.arange(Tn))
+
     feat_a = jax.vmap(
         lambda nkf: lm.fuse_match(
             state, mine, mine >= 0, nkf, K, p.scale_factors, bounds,
             num_levels=num_levels,
         )
-    )(neigh)                                        # [n_neighbors, S]
+    )(targets)                                        # [Tn, S]
 
     def apply_one(st: ms.MapState, args):
-        i_n, nkf, ok_n = args
-        st = lm.fuse_apply(
-            st, jnp.where(ok_n, mine, -1), feat_a[i_n], nkf
-        )
+        nkf, ok_n, feat = args
+        st = lm.fuse_apply(st, jnp.where(ok_n, mine, -1), feat, nkf)
         return st, None
 
-    state, _ = jax.lax.scan(
-        apply_one, state,
-        (jnp.arange(n_neighbors, dtype=jnp.int32), neigh, neigh_ok),
-    )
+    state, _ = jax.lax.scan(apply_one, state, (targets, targets_ok, feat_a))
 
-    # union of the neighbors' points, first occurrence only (the
+    # union of ALL targets' points, first occurrence only (the
     # reference's vpFuseCandidates dedupe via mbFuseCandidate flags)
-    theirs = jnp.where(neigh_ok[:, None], state.kf_point_idx[neigh], -1).reshape(-1)
+    theirs = jnp.where(
+        targets_ok[:, None], state.kf_point_idx[targets], -1
+    ).reshape(-1)
     P = state.capacity_mp
     tclip = jnp.clip(theirs, 0, P - 1)
     M = theirs.shape[0]
@@ -464,7 +480,8 @@ def keyframe_step(
 
 @partial(
     jax.jit,
-    static_argnames=("n_neighbors", "num_levels", "create_close_points", "all_depths",
+    static_argnames=("n_neighbors", "n2_neighbors", "num_levels",
+                     "create_close_points", "all_depths",
                      "max_local", "max_fixed", "max_points", "obs_slots",
                      "iters1", "iters2", "run_ba"),
     donate_argnums=(0,),
@@ -483,6 +500,7 @@ def keyframe_full_step(
     baseline: float = 0.1,
     covis_threshold: int = 15,
     n_neighbors: int = 5,
+    n2_neighbors: int = 5,
     num_levels: int = 8,
     create_close_points: bool = True,
     all_depths: bool = False,
@@ -502,10 +520,13 @@ def keyframe_full_step(
         state, frame, Tcw, point_idx, K, p, level_sigma2,
         scale_factor_last=scale_factor_last, baseline=baseline,
         covis_threshold=covis_threshold, n_neighbors=n_neighbors,
+        n2_neighbors=n2_neighbors,
         num_levels=num_levels, create_close_points=create_close_points,
         all_depths=all_depths,
     )
-    state, keep = lm.cull_points.__wrapped__(state, probation_window, kf_id)
+    # "now" for probation ages = this keyframe's seq (slot ids are recycled)
+    now_seq = state.kf_seq[jnp.clip(kf_id, 0, state.capacity_kf - 1)]
+    state, keep = lm.cull_points.__wrapped__(state, probation_window, now_seq)
     if run_ba:
         state = local_ba_step.__wrapped__(
             state, kf_id, inv_sigma2, K,
@@ -514,20 +535,22 @@ def keyframe_full_step(
             iters1=iters1, iters2=iters2,
         )
         state = _reanchor_depth_seeds.__wrapped__(state, kf_id, K)
-    # keyframe-culling candidates (reference KeyFrameCulling,
-    # src/LocalMapping.cc:684-752 sweeps ALL local keyframes every
-    # iteration): redundancy of the top covisible neighbors is computed
-    # HERE so the host reads it in the same pull as the other keyframe
-    # outputs — a separate redundancy dispatch costs a full relay round
-    # trip, which is why round 1 only checked every 4th keyframe.
+    # keyframe-culling sweep (reference KeyFrameCulling,
+    # src/LocalMapping.cc:684-752 sweeps ALL covisible keyframes every
+    # iteration — round 3 only checked the top 10 by weight, so redundant
+    # keyframes survived at 1000+ KF scale and inflated every [K,K]
+    # structure): redundancy of EVERY covisible neighbor is computed HERE
+    # so the host reads it in the same pull as the other keyframe outputs.
+    Kc = state.capacity_kf
     wc = state.covis[kf_id] * state.kf_valid
     wc = wc.at[0].set(0)                      # never cull the origin
-    _, cull_ids = jax.lax.top_k(wc, 10)
-    cull_ok = (wc[cull_ids] >= covis_threshold) & (cull_ids != kf_id)
+    cull_ids = jnp.arange(Kc, dtype=jnp.int32)
+    cull_ok = (wc >= covis_threshold) & (cull_ids != kf_id)
     cull_red = jax.vmap(lambda c: lm.keyframe_redundancy.__wrapped__(state, c))(
         cull_ids
     )
     cull_red = jnp.where(cull_ok, cull_red, 0.0)
+    cull_ids = jnp.where(cull_ok, cull_ids, -1)
 
     # return the (possibly BA-adjusted) anchors so the host needs no extra
     # gather dispatches to refresh the tracker
@@ -613,8 +636,8 @@ class FrameStepOut(NamedTuple):
     kf_point_idx: jnp.ndarray   # [S] post-BA bindings (or track bindings)
     new_pids: jnp.ndarray       # [S] (-1 when no keyframe)
     window_keep: jnp.ndarray    # [W] bool
-    cull_ids: jnp.ndarray       # [10] top covisible neighbors (culling cands)
-    cull_red: jnp.ndarray       # [10] their redundancy fractions
+    cull_ids: jnp.ndarray       # [K] covisible culling candidates (-1 = n/a)
+    cull_red: jnp.ndarray       # [K] their redundancy fractions
     accept: jnp.ndarray         # bool: ok AND >= min_inliers_local
     next_Tcw: jnp.ndarray       # [4,4] anchor pose for the next frame
     next_point_idx: jnp.ndarray # [S] anchor bindings for the next frame
@@ -627,7 +650,7 @@ class FrameStepOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "orb_cfg", "max_local_kfs", "max_local_points", "num_levels",
-        "has_distortion", "n_neighbors", "create_close_points",
+        "has_distortion", "n_neighbors", "n2_neighbors", "create_close_points",
         "max_local", "max_fixed", "max_points", "obs_slots", "iters1", "iters2",
         "max_gap", "min_gap", "kf_ratio", "use_close_cond", "sensor",
         "defer_ba",
@@ -666,6 +689,7 @@ def frame_and_keyframe_step(
     num_levels: int = 8,
     has_distortion: bool = False,
     n_neighbors: int = 5,
+    n2_neighbors: int = 5,
     create_close_points: bool = True,
     max_local: int = 32,
     max_fixed: int = 64,
@@ -751,7 +775,7 @@ def frame_and_keyframe_step(
     need_kf = (
         out.ok & (c1 | c2) & (out.n_inliers > 15)
         & (out.n_inliers >= p.min_track_local)
-        & (state.num_kf < state.capacity_kf) & mapping_enabled
+        & jnp.any(~state.kf_valid) & mapping_enabled
     )
 
     W = probation_window.shape[0]
@@ -768,6 +792,7 @@ def frame_and_keyframe_step(
             level_sigma2, inv_sigma2,
             scale_factor_last=scale_factor_last, baseline=baseline,
             covis_threshold=covis_threshold, n_neighbors=n_neighbors,
+            n2_neighbors=n2_neighbors,
             num_levels=num_levels, create_close_points=create_close_points,
             max_local=max_local, max_fixed=max_fixed, max_points=max_points,
             obs_slots=obs_slots, iters1=iters1, iters2=iters2,
@@ -775,6 +800,7 @@ def frame_and_keyframe_step(
         )
 
     def no_kf(st):
+        Kc = st.capacity_kf
         return (
             st,
             jnp.int32(-1),
@@ -782,8 +808,8 @@ def frame_and_keyframe_step(
             jnp.zeros((W,), bool),
             out.Tcw,
             out.point_idx,
-            jnp.full((10,), -1, jnp.int32),
-            jnp.zeros((10,), jnp.float32),
+            jnp.full((Kc,), -1, jnp.int32),
+            jnp.zeros((Kc,), jnp.float32),
         )
 
     state, kf_id, new_pids, keep, kf_Tcw, kf_bind, cull_ids, cull_red = jax.lax.cond(
@@ -824,7 +850,7 @@ def _reanchor_depth_seeds(state: ms.MapState, kf_id, K: cam_geo.Intrinsics):
     single = (
         (pid >= 0)
         & (jnp.sum(state.mp_obs_kf[pidc] >= 0, axis=1) == 1)
-        & (state.mp_first_kf[pidc] == kf_id)
+        & (state.mp_first_kf[pidc] == state.kf_seq[kf_id])
         & (depth > 0)
     )
     pc = cam_geo.backproject(state.kf_xy[kf_id], depth, K)

@@ -151,7 +151,10 @@ def invalidate_points(state: ms.MapState, point_ids, mask):
 def cull_points(state: ms.MapState, point_ids, current_kf):
     """Apply the reference's recent-point test. Returns (state, keep_mask):
     keep = still on probation; culled points are invalidated; points that
-    survive 3 keyframes graduate (dropped from the window)."""
+    survive 3 keyframes graduate (dropped from the window).
+
+    `current_kf` is the current keyframe's SEQ number (kf_seq / num_kf
+    units — mp_first_kf stores creation seq; slot ids are recycled)."""
     pid = jnp.clip(point_ids, 0, state.capacity_mp - 1)
     tracked = point_ids >= 0
     valid = tracked & state.mp_valid[pid]
@@ -444,6 +447,42 @@ def fuse_points_into_kf(
     return fuse_apply(state, point_ids, feat, target_kf)
 
 
+@partial(jax.jit, static_argnames=("num_levels",))
+def fuse_points_into_kfs(
+    state: ms.MapState,
+    point_ids,          # [M] candidate points
+    point_mask,         # [M]
+    targets,            # [T] target keyframes (padded)
+    target_ok,          # [T] bool
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    image_bounds,
+    num_levels: int = 8,
+):
+    """SearchAndFuse over MANY target keyframes in ONE program: the
+    expensive projection matches batch over targets (vmap against the
+    pre-fuse snapshot), the cheap scatter updates apply sequentially via
+    lax.scan so conflict arbitration reads current observation counts —
+    the same pattern as fused.keyframe_step's neighbor fuse. Replaces the
+    round-3 host loop of up to 24 single-target dispatches during loop
+    correction (~40 ms relay RTT each; reference ORBmatcher::Fuse called
+    per neighbor in src/LoopClosing.cc:624-649)."""
+    feats = jax.vmap(
+        lambda t: fuse_match(
+            state, point_ids, point_mask, t, K, scale_factors,
+            image_bounds, num_levels=num_levels,
+        )
+    )(targets)                                        # [T, M]
+
+    def body(st, args):
+        t, ok, feat = args
+        st = fuse_apply(st, jnp.where(ok, point_ids, -1), feat, t)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (targets, target_ok, feats))
+    return state
+
+
 # ---------------------------------------------------------------------------
 # local BA assembly (reference src/Optimizer.cc:453-770)
 # ---------------------------------------------------------------------------
@@ -591,6 +630,26 @@ def keyframe_redundancy(state: ms.MapState, kf_id) -> jnp.ndarray:
 
 
 @jax.jit
+def kf_cull_pressure_scores(state: ms.MapState) -> jnp.ndarray:
+    """Redundancy of EVERY keyframe, masked for capacity-pressure culling:
+    -1 for slots that must not be culled (free, the origin/gauge keyframe,
+    or among the 5 most recent inserts — they anchor tracking). The host
+    culls argmax when the free-slot pool runs dry, so a fixed-capacity
+    keyframe pool sustains unbounded sessions (the reference's analogue is
+    KeyFrameCulling keeping the map bounded in useful KFs,
+    src/LocalMapping.cc:684-752, plus heap free on SetBadFlag)."""
+    K = state.capacity_kf
+    ids = jnp.arange(K, dtype=jnp.int32)
+    red = jax.vmap(lambda c: keyframe_redundancy.__wrapped__(state, c))(ids)
+    protect = (
+        ~state.kf_valid
+        | (ids == 0)
+        | (state.kf_seq >= state.num_kf - 5)
+    )
+    return jnp.where(protect, -1.0, red)
+
+
+@jax.jit
 def remove_keyframe(state: ms.MapState, kf_id) -> ms.MapState:
     """SetBadFlag for a keyframe (reference KeyFrame::SetBadFlag,
     src/KeyFrame.cc:507-610): erase its observations, detach it from the
@@ -605,10 +664,29 @@ def remove_keyframe(state: ms.MapState, kf_id) -> ms.MapState:
     children = st.kf_parent == kf_id
     new_parent = jnp.where(children, parent, st.kf_parent)
     covis = st.covis.at[kf_id, :].set(0).at[:, kf_id].set(0)
+    # clear loop edges too: slots are RECYCLED, and a stale loop-edge row
+    # would attach the old keyframe's loop constraint to an unrelated new
+    # keyframe in build_essential_edges
+    loop_edges = st.loop_edges.at[kf_id, :].set(False).at[:, kf_id].set(False)
+    # re-anchor points whose reference keyframe this was to their first
+    # surviving observer (reference MapPoint keeps mpRefKF valid through
+    # EraseObservation, src/MapPoint.cc:123-160); a stale ref would point
+    # at whatever unrelated keyframe recycles this slot
+    P = st.capacity_mp
+    rows = st.mp_obs_kf                       # [P, O]
+    has = rows >= 0
+    first = jnp.argmax(has, axis=1)
+    new_ref = jnp.where(
+        jnp.any(has, axis=1), rows[jnp.arange(P), first], -1
+    ).astype(jnp.int32)
+    refd = (st.mp_ref_kf == kf_id) & st.mp_valid
+    mp_ref = jnp.where(refd, new_ref, st.mp_ref_kf)
+    st = st._replace(mp_ref_kf=mp_ref)
     return st._replace(
         kf_valid=st.kf_valid.at[kf_id].set(False),
         kf_parent=new_parent,
         covis=covis,
+        loop_edges=loop_edges,
         kf_point_idx=st.kf_point_idx.at[kf_id].set(-1),
     )
 
@@ -680,6 +758,9 @@ class LocalMapper:
         self.inv_sigma2 = 1.0 / self.level_sigma2
         self.recent_points = np.zeros((0,), np.int32)
         self.n_keyframes = 0
+        # host mirror of the live keyframe count (slots recycle; pulling
+        # sum(kf_valid) from the device would cost a relay RTT per KF)
+        self.live_kfs = 0
         # (culled_kf, parent_kf, Tcp) records; the System drains these to
         # re-anchor trajectory entries logged against culled keyframes
         self.culled_log: list[tuple[int, int, np.ndarray]] = []
@@ -709,8 +790,12 @@ class LocalMapper:
         outputs (`cull_ids`/`cull_red`), so culling costs ZERO extra
         dispatches unless a keyframe actually crosses the 90% bar. Cold
         callers that lack those outputs fall back to an amortized
-        on-demand check."""
+        on-demand check. When the free-slot pool runs dry, capacity-
+        pressure culling recycles the most redundant keyframe regardless
+        of the 90% bar (fixed-capacity analogue of the reference's
+        unbounded heap + SetBadFlag)."""
         self.n_keyframes += 1
+        self.live_kfs += 1
         W = self.RECENT_WINDOW
         if window_ids is not None:
             # pipelined caller: `keep` was computed against the window
@@ -743,7 +828,7 @@ class LocalMapper:
                 for c, r in zip(ids, red):
                     if c >= 0 and c != kf_id and r > 0.9:
                         state = self._cull(state, int(c))
-            return state
+            return self._pressure_cull(state, kf_id)
 
         # cold path: amortized check, two small dispatches per candidate
         if self.n_keyframes % 4 == 0 and self.n_keyframes >= 12:
@@ -756,6 +841,27 @@ class LocalMapper:
                 if float(keyframe_redundancy(state, jnp.int32(c))) > 0.9:
                     state = self._cull(state, c)
                     break
+        return self._pressure_cull(state, kf_id)
+
+    def _pressure_cull(self, state: ms.MapState, kf_id: int) -> ms.MapState:
+        """Recycle the most redundant keyframe(s) when the fixed slot pool
+        is nearly exhausted, so mapping NEVER silently freezes (round-3
+        verdict: a 512-slot pool froze mapping at KITTI scale). Rare:
+        costs one [K]-redundancy dispatch only under pressure."""
+        cap = state.capacity_kf
+        if self.live_kfs < cap - 4:
+            return state
+        # near the edge: resync the host mirror from the device (the
+        # counter misses keyframes inserted outside after_keyframe, e.g.
+        # the two mono-init keyframes), then recycle until 2 slots free
+        self.live_kfs = int(jnp.sum(state.kf_valid))
+        while self.live_kfs >= cap - 2:
+            red = np.asarray(kf_cull_pressure_scores(state))
+            red[kf_id] = -1.0
+            c = int(np.argmax(red))
+            if red[c] < 0:
+                break  # nothing cullable (all protected)
+            state = self._cull(state, c)
         return state
 
     def _cull(self, state: ms.MapState, c: int) -> ms.MapState:
@@ -766,6 +872,7 @@ class LocalMapper:
         Tp = np.asarray(state.kf_Tcw[jnp.clip(parent, 0, state.capacity_kf - 1)])
         Tcp = Tc @ np.linalg.inv(Tp) if parent >= 0 else np.eye(4)
         self.culled_log.append((c, max(parent, -1), Tcp))
+        self.live_kfs -= 1
         return remove_keyframe(state, jnp.int32(c))
 
     def post_keyframe(self, state: ms.MapState, kf_id: int, new_pids) -> ms.MapState:
@@ -774,7 +881,7 @@ class LocalMapper:
         from orbslam2_tpu.pipeline import fused
 
         window = self.probation_window()
-        state, keep = cull_points(state, window, jnp.int32(kf_id))
+        state, keep = cull_points(state, window, state.kf_seq[kf_id])
         if int(state.num_kf) >= 3:
             sc = self.cfg.solver
             state = fused.local_ba_step(
@@ -797,7 +904,8 @@ class LocalMapper:
 
         # 2) map point culling over the probation window
         if len(self.recent_points):
-            st, keep = cull_points(state, jnp.asarray(self.recent_points), jnp.int32(kf_id))
+            st, keep = cull_points(state, jnp.asarray(self.recent_points),
+                                   state.kf_seq[kf_id])
             state = st
             self.recent_points = self.recent_points[np.asarray(keep)[: len(self.recent_points)]]
 

@@ -272,6 +272,73 @@ def guided_projection_count(
     return count, matched_pt
 
 
+@partial(jax.jit, static_argnames=("covis_threshold", "max_targets"))
+def _propagate_neighborhood(
+    state: ms.MapState,
+    kf_id,
+    s12, R12, t12,
+    covis_threshold: int = 15,
+    max_targets: int = 24,
+):
+    """Device half of CorrectLoop's Sim3 propagation (reference
+    src/LoopClosing.cc:460-508): compute the corrected S_iw for the current
+    keyframe and its covisible neighborhood in ONE program. Round 3 ran
+    this as a host loop over ~24 neighbors with a handful of small device
+    ops each (hundreds of relay dispatches inside the tracking stall).
+
+    `(s12, R12, t12)` is the CORRECTED S_cw of the current keyframe
+    (the caller composes S12 with the loop keyframe's S_2w).
+
+    Returns (old_pack [K,8], vert [K,8] with corrected entries,
+    targets [T], target_ok [T]) — targets are the strongest covisible
+    neighbors (current KF first) for the batched SearchAndFuse."""
+    Kcap = state.capacity_kf
+    old_pack = jax.vmap(pose_graph.se3_to_pack)(state.kf_Tcw)
+
+    T_c_inv = se3.inverse(state.kf_Tcw[kf_id])
+    covis_row = state.covis[kf_id]
+    idx = jnp.arange(Kcap)
+    nbh = ((covis_row >= covis_threshold) & state.kf_valid) | (idx == kf_id)
+
+    S_cw_corr = (s12, R12, t12)
+
+    def corr(T_k):
+        T_kc = T_k @ T_c_inv
+        return sim3.pack(sim3.compose(sim3.from_se3(T_kc), S_cw_corr))
+
+    corrected = jax.vmap(corr)(state.kf_Tcw)        # [K, 8]
+    vert = jnp.where(nbh[:, None], corrected, old_pack)
+
+    score = jnp.where(nbh, covis_row, -1).at[kf_id].set(jnp.int32(1 << 20))
+    _, targets = jax.lax.top_k(score, max_targets)
+    target_ok = score[targets] > 0
+    return old_pack, vert, targets.astype(jnp.int32), target_ok
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def _fuse_and_rebuild(
+    state: ms.MapState,
+    loop_pts, loop_mask,
+    targets, target_ok,
+    K: cam_geo.Intrinsics,
+    scale_factors,
+    bounds,
+    num_levels: int = 8,
+):
+    """SearchAndFuse over the corrected neighborhood + observation-table
+    reconcile + full covisibility rebuild as ONE dispatch (reference
+    src/LoopClosing.cc:624-649 then UpdateConnections; round 3 paid ~26
+    separate dispatches ~40 ms RTT each here — the bulk of the 4.1 s
+    loop-correction stall)."""
+    state = lm.fuse_points_into_kfs.__wrapped__(
+        state, loop_pts, loop_mask, targets, target_ok, K,
+        scale_factors, bounds, num_levels=num_levels,
+    )
+    state, truncated = ms.rebuild_observations.__wrapped__(state)
+    state = rebuild_covisibility(state)
+    return state, truncated
+
+
 @partial(jax.jit, static_argnames=("max_edges", "essential_threshold"))
 def build_essential_edges(
     state: ms.MapState,
@@ -341,11 +408,19 @@ def _detect_candidates(
         jnp.min(jnp.where(covisible, scores, jnp.inf)),
         0.05,
     )
+    # "recent" = inserted within the last `recent_exclusion` keyframes, by
+    # SEQ (slot ids are recycled so slot order no longer encodes time)
+    cur_seq = state.kf_seq[kf_id]
     idx = jnp.arange(Kcap)
-    exclude = covisible | (idx == kf_id) | (idx > kf_id - recent_exclusion)
+    exclude = (
+        covisible | (idx == kf_id)
+        | (state.kf_seq > cur_seq - recent_exclusion)
+    )
+    # culled keyframes may still have a stale DB row until the slot is
+    # reused; gate candidacy on live slots
     cand, mask, _ = _query(
-        vectors, present, vec, exclude, jnp.maximum(min_score, 0.01),
-        state.covis, max_candidates,
+        vectors, present & state.kf_valid, vec, exclude,
+        jnp.maximum(min_score, 0.01), state.covis, max_candidates,
     )
     cand_covis = state.covis[cand] > 0
     return cand, mask, cand_covis
@@ -497,6 +572,10 @@ class LoopCloser:
         self.edge_truncations = 0   # essential-graph edges dropped by cap
         self.obs_truncations = 0    # observations dropped by obs_slots
         self.last_loop_kf = -1_000
+        self.last_loop_seq = -1_000
+        # slot -> insertion seq (host mirror of state.kf_seq; slots are
+        # recycled so host-side "how long since" checks must use seq)
+        self._seq_of: dict[int, int] = {}
         # consistency groups: list of (set_of_kf_ids, count, misses)
         self._consistent_groups: list[tuple[set, int, int]] = []
         self.loops_closed = 0
@@ -515,6 +594,7 @@ class LoopCloser:
         self.reservoir.add_deferred(
             state.kf_desc[kf_id], state.kf_feat_valid[kf_id]
         )
+        self._seq_of[kf_id] = self._kf_count
         self._kf_count += 1
         # retrain at keyframe-count doublings: the vocabulary grows with
         # the visited appearance distribution (reference ships a fixed
@@ -638,7 +718,8 @@ class LoopCloser:
         # --- CorrectLoop + async-GBA slices on a THROWAWAY state ---------
         log, self.log = self.log, None
         saved = (self.loops_closed, self.edge_truncations,
-                 self.obs_truncations, self.last_loop_kf, self._gba)
+                 self.obs_truncations, self.last_loop_kf,
+                 self.last_loop_seq, self._gba)
         try:
             self._loop_pts = (loop_pts, loop_mask)  # compiles SearchAndFuse
             ident = (jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
@@ -652,7 +733,7 @@ class LoopCloser:
             jax.block_until_ready(st.kf_Tcw)
         finally:
             (self.loops_closed, self.edge_truncations, self.obs_truncations,
-             self.last_loop_kf, self._gba) = saved
+             self.last_loop_kf, self.last_loop_seq, self._gba) = saved
             self._loop_pts = None
             self._guided_pt = None
             self.log = log
@@ -689,7 +770,8 @@ class LoopCloser:
         its host copy; the (cheap) host side runs in `finalize_detect` on a
         later frame, so the detect round trip overlaps tracking. Returns
         True when a detection is now pending."""
-        if kf_id < self.last_loop_kf + 10 or kf_id < 10:
+        seq = self._seq_of.get(kf_id, self._kf_count - 1)
+        if seq < self.last_loop_seq + 10 or seq < 10:
             return False
         handles = _detect_candidates(
             state, self.db.vectors, self.db.present, jnp.int32(kf_id),
@@ -729,7 +811,8 @@ class LoopCloser:
         host pulls ONE tuple (candidates + their covisibility rows for the
         consistency grouping) — round 1 made ~5 separate device->host
         round trips per keyframe, ~50 ms each through the TPU relay."""
-        if kf_id < self.last_loop_kf + 10 or kf_id < 10:
+        seq = self._seq_of.get(kf_id, self._kf_count - 1)
+        if seq < self.last_loop_seq + 10 or seq < 10:
             return []
         handles = _detect_candidates(
             state, self.db.vectors, self.db.present, jnp.int32(kf_id),
@@ -881,29 +964,18 @@ class LoopCloser:
         Kcap = state.capacity_kf
         s12, R12, t12 = S12
 
-        old_pack = jax.vmap(pose_graph.se3_to_pack)(state.kf_Tcw)
-
         # corrected current pose: S_cw = S_12 o S_2w (candidate = frame 2)
         S_2w = sim3.from_se3(state.kf_Tcw[loop_kf])
         S_cw_corr = sim3.compose((s12, R12, t12), S_2w)
 
-        # propagate to current KF's covisible neighborhood (reference :473-508)
-        covis_row = np.asarray(state.covis[kf_id])
-        neighborhood = np.nonzero(
-            (covis_row >= self.cfg.map.covis_threshold) & np.asarray(state.kf_valid)
-        )[0].tolist()
-        neighborhood = [kf_id] + [k for k in neighborhood if k != kf_id]
-
-        T_cw = state.kf_Tcw[kf_id]
-        corrected = dict()
-        for k in neighborhood:
-            T_kc = state.kf_Tcw[k] @ se3.inverse(T_cw)
-            S_kw = sim3.compose(sim3.from_se3(T_kc), S_cw_corr)
-            corrected[k] = sim3.pack(S_kw)
-
-        vert = old_pack
-        for k, pk in corrected.items():
-            vert = vert.at[k].set(pk)
+        # propagate to the covisible neighborhood (reference :473-508) in
+        # ONE device program (round 3: a host loop over ~24 neighbors with
+        # small device ops each — hundreds of relay dispatches)
+        old_pack, vert, fuse_targets, fuse_ok = _propagate_neighborhood(
+            state, jnp.int32(kf_id), S_cw_corr[0], S_cw_corr[1], S_cw_corr[2],
+            covis_threshold=int(self.cfg.map.covis_threshold),
+            max_targets=24,
+        )
 
         # ---- essential-graph edges: one device program (round 1 did this
         # with a host O(K^2) loop + one dispatch per edge). If the graph
@@ -998,21 +1070,20 @@ class LoopCloser:
             )
             state = state._replace(kf_point_idx=kpi)
 
-        # ---- SearchAndFuse (reference :624-649): project loop landmarks
-        # into the corrected neighborhood and merge duplicates ----
+        # ---- SearchAndFuse (reference :624-649) + observation reconcile +
+        # covisibility rebuild: ONE dispatch for the whole tail ----
         if self._loop_pts is not None:
             loop_pts, loop_mask = self._loop_pts
-            bounds = self._image_bounds()
-            for k in neighborhood[:24]:
-                state = lm.fuse_points_into_kf(
-                    state, loop_pts, loop_mask, jnp.int32(k), self.K,
-                    self.scale_factors, bounds,
-                    num_levels=self.cfg.orb.num_levels,
-                )
-
-        # ---- reconcile observation tables + covisibility after the bulk
-        # rebinds (source of truth: kf_point_idx) ----
-        state, truncated = ms.rebuild_observations(state)
+        else:
+            # shape-compatible dummy (gather_loop_points' max_loop_points)
+            loop_pts = jnp.zeros((4096,), jnp.int32)
+            loop_mask = jnp.zeros((4096,), bool)
+        bounds = self._image_bounds()
+        state, truncated = _fuse_and_rebuild(
+            state, loop_pts, loop_mask, fuse_targets, fuse_ok,
+            self.K, self.scale_factors, bounds,
+            num_levels=self.cfg.orb.num_levels,
+        )
         truncated = int(truncated)
         if truncated and self.log is not None:
             # obs_slots is a quality/throughput trade (local BA reads at
@@ -1022,7 +1093,6 @@ class LoopCloser:
                           n_dropped=truncated,
                           obs_slots=int(state.obs_slots))
         self.obs_truncations += truncated
-        state = rebuild_covisibility(state)
 
         # ---- global BA: time-sliced by default (the TPU-native analogue
         # of the reference's detached GBA thread + abort protocol,
@@ -1038,6 +1108,7 @@ class LoopCloser:
             else:
                 state = self.global_ba(state)
         self.last_loop_kf = kf_id
+        self.last_loop_seq = self._seq_of.get(kf_id, self._kf_count - 1)
         self.loops_closed += 1
         self._loop_pts = None
         self._guided_pt = None

@@ -845,7 +845,8 @@ class System:
 
     def num_keyframes(self) -> int:
         self.flush()
-        return int(self.map.num_kf)
+        # live count (slots are recycled; num_kf is the monotonic total)
+        return int(jnp.sum(self.map.kf_valid))
 
     def get_tracked_map_points(self) -> np.ndarray:
         """Per feature slot of the current frame: the bound map-point id,
@@ -928,6 +929,7 @@ class System:
         self.map = ms.MapState(**fields)
         self.tracker.map = self.map
         self.tracker.n_keyframes = int(jnp.sum(self.map.kf_valid))
+        self.local_mapper.live_kfs = self.tracker.n_keyframes
         if "codebook" in z.files:
             self.loop_closer = LoopCloser(
                 self.cfg, self.builder.K, jnp.asarray(z["codebook"]),

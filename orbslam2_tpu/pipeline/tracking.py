@@ -563,7 +563,8 @@ class Tracker:
         # SAME top-10 covisibility-group accumulation as loop detection
         # (reference DetectRelocalizationCandidates,
         # src/KeyFrameDatabase.cc:219-326)
-        cand, mask, _ = db.query(vec, jnp.zeros(st.capacity_kf, bool), 0.0, st.covis)
+        # exclude culled slots whose DB row is still stale (slots recycle)
+        cand, mask, _ = db.query(vec, ~st.kf_valid, 0.0, st.covis)
         cands = [int(c) for c, m in zip(np.asarray(cand), np.asarray(mask)) if m][:5]
         for c in cands:
             bind = reference_kf_match(

@@ -45,6 +45,11 @@ class MapState(NamedTuple):
     kf_feat_valid: jnp.ndarray   # [K, S] bool
     kf_point_idx: jnp.ndarray    # [K, S] int32 -> map point, -1 unbound
     kf_parent: jnp.ndarray       # [K] int32 spanning-tree parent (-1 root)
+    kf_seq: jnp.ndarray          # [K] int32 insertion sequence number (the
+                                 # reference's monotonically increasing
+                                 # KeyFrame::mnId, include/KeyFrame.h:217;
+                                 # needed because SLOTS are recycled, so the
+                                 # slot index no longer encodes age/order)
     # --- map points [P, ...] ---
     mp_pos: jnp.ndarray          # [P, 3]
     mp_valid: jnp.ndarray        # [P] bool
@@ -53,7 +58,10 @@ class MapState(NamedTuple):
     mp_min_dist: jnp.ndarray     # [P] scale-invariance band lower
     mp_max_dist: jnp.ndarray     # [P] upper
     mp_ref_kf: jnp.ndarray       # [P] int32
-    mp_first_kf: jnp.ndarray     # [P] int32 (culling bookkeeping)
+    mp_first_kf: jnp.ndarray     # [P] int32 creating keyframe's SEQ number
+                                 # (ages in cull_points are seq deltas;
+                                 # also the slot-identity guard for async
+                                 # GBA fold-in)
     mp_n_obs: jnp.ndarray        # [P] int32 (stereo counts 2, reference MapPoint.cc:108)
     mp_visible: jnp.ndarray      # [P] int32 tracking visibility counter
     mp_found: jnp.ndarray        # [P] int32 tracking found counter
@@ -63,7 +71,9 @@ class MapState(NamedTuple):
     covis: jnp.ndarray           # [K, K] int32 shared-point counts
     loop_edges: jnp.ndarray      # [K, K] bool
     # --- counters (scalars) ---
-    num_kf: jnp.ndarray          # int32 allocated keyframe slots
+    num_kf: jnp.ndarray          # int32 keyframes ever INSERTED (monotonic
+                                 # seq counter, NOT the live count — culled
+                                 # slots are recycled; live = sum(kf_valid))
     num_mp: jnp.ndarray          # int32 allocated point slots
 
     @property
@@ -99,6 +109,7 @@ def allocate(map_cfg: MapConfig, orb_cfg: OrbConfig, obs_slots: int = 16) -> Map
         kf_feat_valid=jnp.zeros((K, S), bool),
         kf_point_idx=jnp.full((K, S), -1, i32),
         kf_parent=jnp.full(K, -1, i32),
+        kf_seq=jnp.full(K, -1, i32),
         mp_pos=jnp.zeros((P, 3), f32),
         mp_valid=jnp.zeros(P, bool),
         mp_desc=jnp.zeros((P, 8), jnp.uint32),
@@ -138,40 +149,56 @@ def add_keyframe(
     feat_valid: jnp.ndarray,
     point_idx: jnp.ndarray,
 ) -> tuple[MapState, jnp.ndarray]:
-    """Write a new keyframe at the next slot; bind its pre-matched points
-    (point_idx[s] >= 0), append observations, refresh covisibility row and
-    pick the spanning-tree parent (top covisible, reference
-    src/KeyFrame.cc:406-411).
+    """Write a new keyframe into the FIRST FREE SLOT (culled slots are
+    recycled — a fixed 512-slot pool sustains unbounded sessions the way
+    the reference's heap allocation + SetBadFlag does, src/KeyFrame.cc:
+    507-610); bind its pre-matched points (point_idx[s] >= 0), append
+    observations, refresh covisibility row and pick the spanning-tree
+    parent (top covisible, reference src/KeyFrame.cc:406-411).
 
-    Returns (new_state, kf_id).
+    Age/order semantics live in `kf_seq` (= the reference's monotonic
+    KeyFrame::mnId), NOT the slot index. If no slot is free every write
+    drops (callers gate on `jnp.any(~kf_valid)`).
+
+    Returns (new_state, kf_slot) — kf_slot == capacity_kf when full.
     """
-    k = state.num_kf
-    bind = point_idx >= 0
+    K = state.capacity_kf
+    seq = state.num_kf
+    free = ~state.kf_valid
+    has_free = jnp.any(free)
+    k = jnp.where(has_free, jnp.argmax(free), K).astype(jnp.int32)
+    bind = (point_idx >= 0) & has_free
     safe_pid = jnp.where(bind, point_idx, 0)
 
     st = state._replace(
-        kf_Tcw=state.kf_Tcw.at[k].set(Tcw),
-        kf_valid=state.kf_valid.at[k].set(True),
-        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
-        kf_xy=state.kf_xy.at[k].set(xy),
-        kf_ur=state.kf_ur.at[k].set(ur),
-        kf_depth=state.kf_depth.at[k].set(depth),
-        kf_octave=state.kf_octave.at[k].set(octave),
-        kf_angle=state.kf_angle.at[k].set(angle),
-        kf_desc=state.kf_desc.at[k].set(desc),
-        kf_feat_valid=state.kf_feat_valid.at[k].set(feat_valid),
-        kf_point_idx=state.kf_point_idx.at[k].set(jnp.where(bind, point_idx, -1)),
-        num_kf=k + 1,
+        kf_Tcw=state.kf_Tcw.at[k].set(Tcw, mode="drop"),
+        kf_valid=state.kf_valid.at[k].set(True, mode="drop"),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id, mode="drop"),
+        kf_xy=state.kf_xy.at[k].set(xy, mode="drop"),
+        kf_ur=state.kf_ur.at[k].set(ur, mode="drop"),
+        kf_depth=state.kf_depth.at[k].set(depth, mode="drop"),
+        kf_octave=state.kf_octave.at[k].set(octave, mode="drop"),
+        kf_angle=state.kf_angle.at[k].set(angle, mode="drop"),
+        kf_desc=state.kf_desc.at[k].set(desc, mode="drop"),
+        kf_feat_valid=state.kf_feat_valid.at[k].set(feat_valid, mode="drop"),
+        kf_point_idx=state.kf_point_idx.at[k].set(
+            jnp.where(bind, point_idx, -1), mode="drop"),
+        kf_seq=state.kf_seq.at[k].set(seq, mode="drop"),
+        num_kf=seq + jnp.where(has_free, 1, 0),
     )
     st = _append_observations(st, k, safe_pid, bind, ur)
-    st = update_covisibility_row(st, k)
-    # spanning-tree parent: strongest covisible among older keyframes
-    weights = st.covis[k]
-    older = jnp.arange(st.capacity_kf) < k
-    w = jnp.where(older & st.kf_valid, weights, -1)
-    parent = jnp.where(k > 0, jnp.argmax(w), -1).astype(jnp.int32)
-    parent = jnp.where(jnp.max(w) > 0, parent, jnp.where(k > 0, k - 1, -1))
-    st = st._replace(kf_parent=st.kf_parent.at[k].set(parent))
+    st = update_covisibility_row(st, jnp.clip(k, 0, K - 1))
+    # spanning-tree parent: strongest covisible among OLDER keyframes (all
+    # other valid keyframes — their seq predates ours); fall back to the
+    # most recently inserted one when covisibility is empty
+    kc = jnp.clip(k, 0, K - 1)
+    weights = st.covis[kc]
+    older = st.kf_valid & (st.kf_seq >= 0) & (st.kf_seq < seq)
+    w = jnp.where(older, weights, -1)
+    prev = jnp.argmax(jnp.where(older, st.kf_seq, -1))
+    parent = jnp.where(jnp.max(w) > 0, jnp.argmax(w), prev).astype(jnp.int32)
+    parent = jnp.where(jnp.any(older), parent, -1)
+    st = st._replace(kf_parent=st.kf_parent.at[k].set(parent, mode="drop"))
     return st, k
 
 
@@ -261,7 +288,13 @@ def add_points(
         mp_min_dist=state.mp_min_dist.at[pid_w].set(min_dist, mode="drop"),
         mp_max_dist=state.mp_max_dist.at[pid_w].set(max_dist, mode="drop"),
         mp_ref_kf=state.mp_ref_kf.at[pid_w].set(jnp.full(N, ref_kf, jnp.int32), mode="drop"),
-        mp_first_kf=state.mp_first_kf.at[pid_w].set(jnp.full(N, ref_kf, jnp.int32), mode="drop"),
+        # creation "time" = the ref keyframe's SEQ (slot ids are recycled)
+        mp_first_kf=state.mp_first_kf.at[pid_w].set(
+            jnp.broadcast_to(
+                state.kf_seq[jnp.clip(ref_kf, 0, state.capacity_kf - 1)], (N,)
+            ).astype(jnp.int32),
+            mode="drop",
+        ),
         mp_n_obs=state.mp_n_obs.at[pid_w].set(jnp.where(ur >= 0, 2, 1), mode="drop"),
         mp_visible=state.mp_visible.at[pid_w].set(1, mode="drop"),
         mp_found=state.mp_found.at[pid_w].set(1, mode="drop"),

@@ -316,6 +316,7 @@ def pose_optimize_fast(Tcw0, obs, K, rounds: int = 4, iters: int = 10):
     import os
 
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and not os.environ.get("ORBSLAM_TPU_NO_PALLAS"):
+    disabled = os.environ.get("ORBSLAM_TPU_NO_PALLAS", "0").lower() not in ("", "0", "false")
+    if platform in ("tpu", "axon") and not disabled:
         return pose_optimize_pallas(Tcw0, obs, K, rounds=rounds, iters=iters)
     return pose_opt.pose_optimize(Tcw0, obs, K, rounds=rounds, iters=iters)

@@ -182,3 +182,68 @@ class TestMapState:
         # with headroom available it is a no-op
         out3 = lm.ensure_free_slots(out, jnp.int32(5), headroom=32)
         assert int(jnp.sum(out3.mp_valid)) == int(jnp.sum(out.mp_valid))
+
+    def test_keyframe_slot_recycling(self, rng):
+        """Culled keyframe slots are reused; seq/order semantics survive
+        recycling (round-3 verdict: monotonic allocation froze mapping at
+        512 inserts while KITTI 00 needs ~1300)."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()  # capacity 8
+        for fid in range(8):
+            st, k = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid))
+            assert int(k) == fid
+        assert int(st.num_kf) == 8
+        # pool full: a further insert DROPS (returns capacity) instead of
+        # corrupting slot 0
+        st_full, k_over = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=99))
+        assert int(k_over) == st.capacity_kf
+        assert int(st_full.num_kf) == 8
+        assert int(st_full.kf_frame_id[0]) == 0  # slot 0 untouched
+        # cull slot 3; the next insert recycles it with a FRESH seq
+        st = lm.remove_keyframe(st, jnp.int32(3))
+        st, k_new = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=42))
+        assert int(k_new) == 3
+        assert bool(st.kf_valid[3])
+        assert int(st.kf_frame_id[3]) == 42
+        assert int(st.kf_seq[3]) == 8          # newest by seq
+        assert int(st.num_kf) == 9             # monotonic counter
+        # parent fallback: no covisibility -> most recently inserted older
+        # keyframe, which is slot 7 (seq 7), NOT slot 2 (slot order)
+        assert int(st.kf_parent[3]) == 7
+
+    def test_point_age_uses_seq_not_slot(self, rng):
+        """mp_first_kf stores the creating keyframe's SEQ: a point created
+        by a keyframe living in a RECYCLED low slot must still be young."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()
+        for fid in range(8):
+            st, _ = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid))
+        st = lm.remove_keyframe(st, jnp.int32(1))
+        st, k = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=50))
+        assert int(k) == 1 and int(st.kf_seq[1]) == 8
+        pos = jnp.ones((4, 3))
+        st, pids = ms.add_points(
+            st, pos, jnp.ones(4, bool), k, jnp.arange(4, dtype=jnp.int32),
+            jnp.zeros((4, 8), jnp.uint32), jnp.zeros((4, 3)),
+            jnp.zeros(4), jnp.ones(4), jnp.full(4, -1.0),
+        )
+        assert (np.asarray(st.mp_first_kf[np.asarray(pids)]) == 8).all()
+        # probation cull at "now" = seq 9: age 1 -> not yet judged as old
+        st2, keep = lm.cull_points(st, pids, jnp.int32(9))
+        assert bool(st2.mp_valid[np.asarray(pids)].all())
+
+    def test_pressure_cull_scores_protect(self, rng):
+        """kf_cull_pressure_scores masks free slots, the origin and the 5
+        most recent inserts."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()
+        for fid in range(7):
+            st, _ = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid))
+        red = np.asarray(lm.kf_cull_pressure_scores(st))
+        assert red[0] == -1.0          # origin protected
+        assert red[7] == -1.0          # free slot
+        assert (red[2:7] == -1.0).all()  # 5 most recent (seq > 7-5=2)
+        assert red[1] >= 0.0           # seq 1: cullable
