@@ -134,10 +134,13 @@ class TrackingConfig:
     pipeline_depth: int = 0
     # defer local BA to its OWN device dispatch issued at keyframe-resolve
     # time (the reference's LocalMapping thread runs BA asynchronously the
-    # same way, src/LocalMapping.cc:92-97): the keyframe frame's host pull
-    # stops paying the ~23 ms BA tail, and the BA result chains into later
-    # frames on device. Only active in pipelined (turbo) mode.
-    defer_local_ba: bool = True
+    # same way, src/LocalMapping.cc:92-97). Only active in pipelined
+    # (turbo) mode. DEFAULT OFF since the round-4 on-chip A/B: BA landing
+    # 1-2 frames late degraded forward-dolly ATE 0.0066 -> 0.0089 (the
+    # frames after a keyframe track against pre-BA anchors) and measured
+    # NO fps win — the next frame's dispatch waits on the BA result on
+    # device anyway, so deferral only hides the host pull.
+    defer_local_ba: bool = False
     # motion-model projection search radius in LEVEL-0 pixels (reference
     # src/Tracking.cc:139: th=7 stereo/RGB-D, 15 mono; scaled by octave).
     # 0 = the reference per-sensor default. Fast rotation (deg-scale per
@@ -215,17 +218,35 @@ class VocabConfig:
 
     branching: int = 10
     depth: int = 4                      # 10^4 = 10k leaves (dense-matmul friendly)
-    # flat-codebook size ceiling actually used by the TPU build (vocab/bow.py
-    # — the hierarchical tree is a CPU artifact; a flat codebook is exact).
-    # The live size grows with the session's descriptor reservoir in
-    # power-of-2 buckets up to this ceiling (loop_closing.DescriptorReservoir).
-    vocab_size: int = 4096
+    # effective-word-count ceiling of the session vocabulary (vocab/bow.py).
+    # Flat codebook up to 4096 words (one exact Hamming matmul); beyond
+    # that a TWO-LEVEL codebook (256 coarse cells x up to 256 fine words
+    # per cell = 65536 effective words — the TPU shape of DBoW2's tree,
+    # reference include/ORBVocabulary.h:25-31). The live size follows the
+    # descriptor reservoir in power-of-4 buckets up to this ceiling.
+    vocab_size: int = 65536
+    # reservoir sample of session descriptors the vocabulary trains on;
+    # the usable word count is ~reservoir/4, so raise this (e.g. 262144)
+    # for long sessions that should reach the two-level sizes. Default
+    # keeps CPU-test warmups cheap.
+    reservoir_cap: int = 32768
+    # prebuilt vocabulary file (the analogue of the reference's shipped
+    # ORBvoc.txt, loaded at startup in src/System.cc:65-78; built by
+    # tools/train_vocab.py). "builtin" loads orbslam2_tpu/data/vocab.npz
+    # when present, an absolute path loads that file, None/"" forces the
+    # session-trained reservoir vocabulary. A loaded vocabulary is FROZEN:
+    # no mid-run retrains (and none of their compile/latency spikes).
+    vocab_file: str | None = "builtin"
     train_iters: int = 6
     seed: int = 0
     # loop/reloc candidate capacities
     max_candidates: int = 16
     # covisibility consistency threshold (reference src/LoopClosing.cc:43)
     covisibility_consistency_th: int = 3
+    # keyframes a consistency group may MISS before it resets. 0 = the
+    # reference's strict consecutive-keyframe rule (src/LoopClosing.cc:
+    # 156-232); >0 tolerates gaps for deliberately tiny vocabularies
+    consistency_miss_grace: int = 0
     # exclude the newest N keyframes from loop candidacy. The reference
     # relies on covisibility exclusion alone (src/KeyFrameDatabase.cc:96-115);
     # the session-trained vocabulary is weaker than DBoW2's offline tree, so

@@ -550,7 +550,7 @@ def replace_points(state: ms.MapState, old_ids, new_ids, mask):
 
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics,
-                 codebook: jnp.ndarray, log=None):
+                 codebook, log=None, frozen_vocab: bool = False):
         self.cfg = cfg
         self.K = K
         self.codebook = codebook
@@ -565,7 +565,12 @@ class LoopCloser:
         self.inv_sigma2 = jnp.asarray([1.0 / sf ** (2 * i) for i in range(nl)], jnp.float32)
         self.level_sigma2 = 1.0 / self.inv_sigma2
         self.scale_factors = jnp.asarray([sf**i for i in range(nl)], jnp.float32)
-        self.reservoir = DescriptorReservoir(seed=cfg.vocab.seed)
+        self.reservoir = DescriptorReservoir(cap=cfg.vocab.reservoir_cap,
+                                             seed=cfg.vocab.seed)
+        # a prebuilt vocabulary (tools/train_vocab.py) is FROZEN: no
+        # mid-run retrains (the reference's shipped ORBvoc.txt never
+        # changes either, src/System.cc:65-78)
+        self.frozen_vocab = frozen_vocab
         self._kf_count = 0
         self._loop_pts = None
         self._guided_pt = None
@@ -591,9 +596,10 @@ class LoopCloser:
     def add_keyframe_to_db(self, state: ms.MapState, kf_id: int):
         # deferred: the gathers stay on device with an async host copy;
         # the reservoir consumes them at the next retrain (sample())
-        self.reservoir.add_deferred(
-            state.kf_desc[kf_id], state.kf_feat_valid[kf_id]
-        )
+        if not self.frozen_vocab:
+            self.reservoir.add_deferred(
+                state.kf_desc[kf_id], state.kf_feat_valid[kf_id]
+            )
         self._seq_of[kf_id] = self._kf_count
         self._kf_count += 1
         # retrain at keyframe-count doublings: the vocabulary grows with
@@ -606,7 +612,8 @@ class LoopCloser:
         # 77-keyframe orbit: the last retrain at 32 predated half the
         # trajectory). Coarse power-of-4 SIZE buckets + warmup_compiles
         # keep the number of distinct XLA programs bounded regardless.
-        if self._kf_count >= 2 and (self._kf_count & (self._kf_count - 1)) == 0:
+        if (not self.frozen_vocab and self._kf_count >= 2
+                and (self._kf_count & (self._kf_count - 1)) == 0):
             self._retrain_vocabulary(state)
         self.db.add(kf_id, state.kf_desc[kf_id], state.kf_feat_valid[kf_id])
 
@@ -627,11 +634,8 @@ class LoopCloser:
         kf_valid = jnp.zeros((Kcap, feature_slots), bool)
         present = jnp.zeros((Kcap,), bool).at[0].set(True)
         key = jax.random.PRNGKey(0)
-        v = 256
-        while True:
-            cb = bow.train_codebook(
-                dummy, dvalid, key, vocab_size=v, iters=self.cfg.vocab.train_iters
-            )
+
+        def warm_bucket(cb):
             db = KeyFrameDatabase(cb, Kcap)
             vec = db.add(0, fdesc, fvalid)
             db.query(vec, jnp.zeros(Kcap, bool), 0.0,
@@ -644,8 +648,30 @@ class LoopCloser:
                     max_candidates=int(self.cfg.vocab.max_candidates),
                     recent_exclusion=int(self.cfg.vocab.recent_exclusion),
                 )
-            if v * 4 > self.cfg.vocab.vocab_size:
-                break
+
+        if self.frozen_vocab:
+            # prebuilt vocabulary: exactly ONE bucket ever runs — warm it
+            # and skip the training-program warmups entirely
+            warm_bucket(self.codebook)
+            return
+
+        # the buckets the retrain rule can actually REACH given the
+        # reservoir (usable words ~ cap/4): flat up to 4096, then the
+        # two-level sizes
+        max_w = 256
+        while max_w * 8 <= cap and max_w * 4 <= self.cfg.vocab.vocab_size:
+            max_w *= 4
+        v = 256
+        while v <= min(max_w, 4096):
+            warm_bucket(bow.train_codebook(
+                dummy, dvalid, key, vocab_size=v,
+                iters=self.cfg.vocab.train_iters))
+            v *= 4
+        v = 16384
+        while v <= max_w:
+            warm_bucket(bow.train_codebook2(
+                dummy, dvalid, key, coarse_size=256, fine_size=v // 256,
+                iters=self.cfg.vocab.train_iters))
             v *= 4
 
     def warmup_correction(self, state: ms.MapState):
@@ -746,15 +772,25 @@ class LoopCloser:
         n = int(valid.sum())
         if n < 256:
             return
-        # coarse power-of-4 size buckets: few distinct compiled programs
+        # coarse power-of-4 size buckets: few distinct compiled programs.
+        # Usable words ~ n/4; beyond 4096 words switch to the TWO-LEVEL
+        # codebook (256 coarse x F fine = W effective; assignment stays
+        # two bounded Hamming matmuls instead of one [N, W] blowup)
         v = 256
         while v * 8 <= n and v * 4 <= self.cfg.vocab.vocab_size:
             v *= 4
         key = jax.random.PRNGKey(self.cfg.vocab.seed + self._kf_count)
-        self.codebook = bow.train_codebook(
-            jnp.asarray(buf), jnp.asarray(valid), key,
-            vocab_size=v, iters=self.cfg.vocab.train_iters,
-        )
+        if v > 4096:
+            self.codebook = bow.train_codebook2(
+                jnp.asarray(buf), jnp.asarray(valid), key,
+                coarse_size=256, fine_size=v // 256,
+                iters=self.cfg.vocab.train_iters,
+            )
+        else:
+            self.codebook = bow.train_codebook(
+                jnp.asarray(buf), jnp.asarray(valid), key,
+                vocab_size=v, iters=self.cfg.vocab.train_iters,
+            )
         present = self.db.present
         self.db = KeyFrameDatabase(self.codebook, self.cfg.map.max_keyframes)
         # rebuild every present row in ONE program (a per-keyframe add()
@@ -846,17 +882,17 @@ class LoopCloser:
             new_groups.append((group, count, 0))
             if count >= th:
                 accepted.append(c)
-        # one-miss grace (deviation from the reference, which resets a
-        # group the moment it skips a keyframe): the session-trained
-        # vocabulary is far weaker than the reference's offline ~1M-leaf
-        # one, so a true revisit candidate can drop below the min-score /
-        # 0.75-of-best gates for a single keyframe mid-chain. Retaining
-        # the group for one miss keeps the chain alive; the geometric
-        # gates (Sim3 RANSAC + joint opt + >=40 guided matches) still
-        # reject every false candidate downstream.
-        for (pg, pc, pm), m in zip(self._consistent_groups, matched_prev):
-            if not m and pm < 1:
-                new_groups.append((pg, pc, pm + 1))
+        # optional miss grace (deviation from the reference, which resets
+        # a group the moment it skips a keyframe). OFF by default since
+        # the two-level vocabulary landed (round-3 verdict asked for the
+        # grace to be retired once the vocabulary scaled); sessions with a
+        # deliberately tiny vocabulary can re-enable via
+        # vocab.consistency_miss_grace.
+        grace = self.cfg.vocab.consistency_miss_grace
+        if grace > 0:
+            for (pg, pc, pm), m in zip(self._consistent_groups, matched_prev):
+                if not m and pm < grace:
+                    new_groups.append((pg, pc, pm + 1))
         self._consistent_groups = new_groups
         # bound geometric-verification work: candidates arrive ordered by
         # accumulated BoW score; each attempt costs several dispatches

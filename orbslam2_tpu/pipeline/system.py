@@ -543,18 +543,50 @@ class System:
         from orbslam2_tpu.vocab import bow
 
         if self.loop_closer is None:
-            codebook = bow.train_codebook(
-                state.kf_desc[kf_id], state.kf_feat_valid[kf_id],
-                jax.random.PRNGKey(self.cfg.vocab.seed),
-                vocab_size=self.cfg.vocab.vocab_size,
-                iters=self.cfg.vocab.train_iters,
-            )
+            codebook = self._load_vocab_file()
+            frozen = codebook is not None
+            if codebook is None:
+                # bootstrap vocabulary: 256 words from the first keyframe's
+                # descriptors — the reservoir retrains (and grows the size
+                # bucket, up to the two-level codebook) as the session sees
+                # more of the scene
+                codebook = bow.train_codebook(
+                    state.kf_desc[kf_id], state.kf_feat_valid[kf_id],
+                    jax.random.PRNGKey(self.cfg.vocab.seed),
+                    vocab_size=min(256, self.cfg.vocab.vocab_size),
+                    iters=self.cfg.vocab.train_iters,
+                )
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook,
-                                          log=self.log)
+                                          log=self.log, frozen_vocab=frozen)
             self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
             if self.cfg.vocab.warmup_correction:
                 self.loop_closer.warmup_correction(state)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
+
+    def _load_vocab_file(self):
+        """Load the prebuilt vocabulary (reference loads ORBvoc.txt the
+        same way, src/System.cc:65-78). Returns None when unavailable."""
+        import os
+
+        import jax.numpy as jnp
+
+        from orbslam2_tpu.vocab import bow
+
+        path = self.cfg.vocab.vocab_file
+        if not path:
+            return None
+        if path == "builtin":
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "data", "vocab.npz",
+            )
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        if "coarse" in z.files:
+            return bow.Codebook(coarse=jnp.asarray(z["coarse"]),
+                                fine=jnp.asarray(z["fine"]))
+        return jnp.asarray(z["codebook"])
 
     def _dispatch_loop_detection(self, kf_id: int) -> bool:
         """Register the keyframe with the loop DB and launch detection;
@@ -912,9 +944,16 @@ class System:
         self.flush()
         payload = {f"map_{k}": np.asarray(v) for k, v in self.map._asdict().items()}
         if self.loop_closer is not None:
+            from orbslam2_tpu.vocab import bow as bow_mod
+
             payload["db_vectors"] = np.asarray(self.loop_closer.db.vectors)
             payload["db_present"] = np.asarray(self.loop_closer.db.present)
-            payload["codebook"] = np.asarray(self.loop_closer.codebook)
+            cb = self.loop_closer.codebook
+            if isinstance(cb, bow_mod.Codebook):
+                payload["codebook_coarse"] = np.asarray(cb.coarse)
+                payload["codebook_fine"] = np.asarray(cb.fine)
+            else:
+                payload["codebook"] = np.asarray(cb)
         np.savez_compressed(path, **payload)
 
     def load_map(self, path: str):
@@ -930,11 +969,18 @@ class System:
         self.tracker.map = self.map
         self.tracker.n_keyframes = int(jnp.sum(self.map.kf_valid))
         self.local_mapper.live_kfs = self.tracker.n_keyframes
-        if "codebook" in z.files:
-            self.loop_closer = LoopCloser(
-                self.cfg, self.builder.K, jnp.asarray(z["codebook"]),
-                log=self.log,
-            )
+        if "codebook" in z.files or "codebook_coarse" in z.files:
+            from orbslam2_tpu.vocab import bow as bow_mod
+
+            if "codebook_coarse" in z.files:
+                cb = bow_mod.Codebook(
+                    coarse=jnp.asarray(z["codebook_coarse"]),
+                    fine=jnp.asarray(z["codebook_fine"]),
+                )
+            else:
+                cb = jnp.asarray(z["codebook"])
+            self.loop_closer = LoopCloser(self.cfg, self.builder.K, cb,
+                                          log=self.log, frozen_vocab=True)
             self.loop_closer.db.vectors = jnp.asarray(z["db_vectors"])
             self.loop_closer.db.present = jnp.asarray(z["db_present"])
             import jax

@@ -20,11 +20,34 @@ src/System.cc:65-72). TPU-first redesign:
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from orbslam2_tpu.ops import hamming
+
+
+class Codebook(NamedTuple):
+    """Two-level vocabulary: coarse cells, then per-cell fine words —
+    effective size C*F (the TPU shape of the reference's branching-10
+    hierarchical DBoW2 tree, include/ORBVocabulary.h:25-31). Assignment
+    stays two bounded Hamming matmuls ([N,C] then per-row [N,F]) instead
+    of one [N, C*F] blowup. A flat codebook is the degenerate C=1 case."""
+
+    coarse: jnp.ndarray   # [C, 8] uint32
+    fine: jnp.ndarray     # [C, F, 8] uint32
+
+    @property
+    def num_words(self) -> int:
+        return self.coarse.shape[0] * self.fine.shape[1]
+
+
+def num_words(codebook) -> int:
+    """Effective vocabulary size for either representation."""
+    if isinstance(codebook, Codebook):
+        return codebook.num_words
+    return codebook.shape[0]
 
 
 def _unpack_bits_i32(desc: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +78,15 @@ def train_codebook(
     clusters are re-seeded from random descriptors.
     """
     N = descs.shape[0]
-    prob = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
+    nv = jnp.sum(valid)
+    # uniform fallback when no member is valid (empty two-level cell):
+    # keeps random.choice well-defined; the resulting codebook is never
+    # preferred at query time but must not be NaN-driven garbage
+    prob = jnp.where(
+        nv > 0,
+        valid.astype(jnp.float32) / jnp.maximum(nv, 1),
+        jnp.full((N,), 1.0 / N, jnp.float32),
+    )
     init_idx = jax.random.choice(key, N, shape=(vocab_size,), replace=True, p=prob)
     centers = descs[init_idx]
     bits = _unpack_bits_i32(descs)  # [N, 256]
@@ -86,21 +117,95 @@ def train_codebook(
     return centers
 
 
+@partial(jax.jit, static_argnames=("coarse_size", "fine_size", "iters",
+                                   "bucket_cap"))
+def train_codebook2(
+    descs: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    coarse_size: int = 256,
+    fine_size: int = 64,
+    iters: int = 6,
+    bucket_cap: int = 4096,
+) -> Codebook:
+    """Two-level binary k-medians: coarse cells over the whole sample,
+    then an independent fine codebook per cell on that cell's members
+    (the recursive k-means of DBoW2's tree construction, two levels).
+
+    Members are bucketed per cell via one sort + segment-rank scatter
+    (bounded at bucket_cap per cell) so the per-cell trainings run on
+    [bucket_cap, fine_size] distance matrices inside one lax.map — not a
+    [N, C*F] blowup and not a 256x masked waste over the full sample."""
+    N = descs.shape[0]
+    C = coarse_size
+    M = bucket_cap
+    coarse = train_codebook.__wrapped__(
+        descs, valid, key, vocab_size=C, iters=iters
+    )
+    d = hamming.distance_matrix(descs, coarse)
+    cell = jnp.where(valid, jnp.argmin(d, axis=1), C)
+    order = jnp.argsort(cell)
+    sd = descs[order]
+    sc = cell[order]
+    idx = jnp.arange(N)
+    rank = idx - jnp.searchsorted(sc, sc, side="left")
+    ok = (sc < C) & (rank < M)
+    sc_w = jnp.where(ok, sc, C)
+    rank_w = jnp.where(ok, rank, 0)
+    bucket = (
+        jnp.zeros((C + 1, M, 8), jnp.uint32)
+        .at[sc_w, rank_w].set(sd, mode="drop")[:C]
+    )
+    bvalid = (
+        jnp.zeros((C + 1, M), bool)
+        .at[sc_w, rank_w].set(ok, mode="drop")[:C]
+    )
+
+    def fine_one(args):
+        b, v, j = args
+        return train_codebook.__wrapped__(
+            b, v, jax.random.fold_in(key, j), vocab_size=fine_size,
+            iters=iters,
+        )
+
+    fine = jax.lax.map(
+        fine_one, (bucket, bvalid, jnp.arange(C, dtype=jnp.int32))
+    )
+    return Codebook(coarse=coarse, fine=fine)
+
+
+def _assign2(descs: jnp.ndarray, cb: Codebook) -> jnp.ndarray:
+    """Two-level word assignment [N] -> cell * F + fine."""
+    F = cb.fine.shape[1]
+    c = jnp.argmin(hamming.distance_matrix(descs, cb.coarse), axis=1)
+    fsel = cb.fine[c]                                  # [N, F, 8]
+    d2 = hamming.distance(descs[:, None, :], fsel)     # [N, F]
+    f = jnp.argmin(d2, axis=1)
+    return (c * F + f).astype(jnp.int32)
+
+
 @jax.jit
-def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook) -> jnp.ndarray:
     """L1-normalized word histogram [V] (the reference's BowVector via
-    vocabulary transform, src/Frame.cc:425-433)."""
-    V = codebook.shape[0]
-    d = hamming.distance_matrix(descs, codebook)
-    assign = jnp.argmin(d, axis=1)
+    vocabulary transform, src/Frame.cc:425-433). Accepts a flat [V, 8]
+    codebook or a two-level Codebook."""
+    if isinstance(codebook, Codebook):
+        V = codebook.num_words
+        assign = _assign2(descs, codebook)
+    else:
+        V = codebook.shape[0]
+        d = hamming.distance_matrix(descs, codebook)
+        assign = jnp.argmin(d, axis=1)
     hist = jnp.zeros((V,), jnp.float32).at[assign].add(valid.astype(jnp.float32))
     return hist / jnp.maximum(jnp.sum(hist), 1e-9)
 
 
 @jax.jit
-def word_ids(descs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+def word_ids(descs: jnp.ndarray, codebook) -> jnp.ndarray:
     """Per-feature word assignment [N] (the FeatureVector analogue used to
     bucket brute-force matching, reference src/ORBmatcher.cc:552)."""
+    if isinstance(codebook, Codebook):
+        return _assign2(descs, codebook)
     return jnp.argmin(hamming.distance_matrix(descs, codebook), axis=1).astype(jnp.int32)
 
 

@@ -23,9 +23,9 @@ from orbslam2_tpu.vocab import bow
 class KeyFrameDatabase:
     """Host wrapper owning the device-side [K, V] BoW matrix."""
 
-    def __init__(self, codebook: jnp.ndarray, max_keyframes: int):
+    def __init__(self, codebook, max_keyframes: int):
         self.codebook = codebook
-        V = codebook.shape[0]
+        V = bow.num_words(codebook)
         self.vectors = jnp.zeros((max_keyframes, V), jnp.float32)
         self.present = jnp.zeros((max_keyframes,), bool)
 

@@ -6,6 +6,7 @@ best-scoring member as representative, and relocalization passes the REAL
 covisibility matrix so accScore is live there too.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,3 +102,79 @@ def test_exclusion_and_min_score_gates():
     assert 2 not in cands and 4 in cands
     cands, _ = _run(vectors, present, covis, vec, min_score=0.95)
     assert cands == [2]
+
+
+class TestTwoLevelCodebook:
+    """Two-level (coarse x fine) vocabulary — the TPU shape of DBoW2's
+    hierarchical tree (reference include/ORBVocabulary.h:25-31)."""
+
+    def _clustered_descs(self, rng, n_clusters=40, per=64):
+        """Descriptors in Hamming clusters: a random center per cluster,
+        members flip a few random bits."""
+        centers = rng.integers(0, 2**32, (n_clusters, 8), dtype=np.uint32)
+        descs = np.repeat(centers, per, axis=0)
+        # flip ~6 random bits per member
+        for _ in range(6):
+            word = rng.integers(0, 8, len(descs))
+            bit = rng.integers(0, 32, len(descs)).astype(np.uint32)
+            flip = (np.uint32(1) << bit).astype(np.uint32)
+            descs[np.arange(len(descs)), word] ^= flip
+        return descs, centers
+
+    def test_train_assign_roundtrip(self, rng):
+        from orbslam2_tpu.vocab import bow
+
+        descs, _ = self._clustered_descs(rng)
+        valid = np.ones(len(descs), bool)
+        cb = bow.train_codebook2(
+            jnp.asarray(descs), jnp.asarray(valid), jax.random.PRNGKey(0),
+            coarse_size=16, fine_size=16, iters=4, bucket_cap=512,
+        )
+        assert cb.coarse.shape == (16, 8) and cb.fine.shape == (16, 16, 8)
+        assert bow.num_words(cb) == 256
+        ids = np.asarray(bow.word_ids(jnp.asarray(descs), cb))
+        assert (ids >= 0).all() and (ids < 256).all()
+        # same-cluster members dominantly share a word; different clusters
+        # dominantly differ
+        same = ids[:64]
+        assert (same == np.bincount(same).argmax()).mean() > 0.5
+
+    def test_bow_vector_discriminates(self, rng):
+        from orbslam2_tpu.vocab import bow
+
+        descs, _ = self._clustered_descs(rng, n_clusters=60, per=40)
+        valid = jnp.ones(len(descs), bool)
+        cb = bow.train_codebook2(
+            jnp.asarray(descs), valid, jax.random.PRNGKey(1),
+            coarse_size=16, fine_size=16, iters=4, bucket_cap=1024,
+        )
+        # frame A: clusters 0..19, frame B: clusters 20..39 (disjoint),
+        # frame A2: clusters 0..19 again (new noisy members)
+        a = jnp.asarray(descs[:800])
+        b = jnp.asarray(descs[800:1600])
+        a2_np, _ = self._clustered_descs(rng, n_clusters=60, per=40)
+        va = jnp.ones(800, bool)
+        vA = bow.bow_vector(a, va, cb)
+        vB = bow.bow_vector(b, va, cb)
+        s_ab = float(bow.l1_score(vA, vB))
+        s_aa = float(bow.l1_score(vA, bow.bow_vector(a, va, cb)))
+        assert s_aa > 0.99
+        assert s_aa > s_ab + 0.2
+
+    def test_database_accepts_two_level(self, rng):
+        from orbslam2_tpu.vocab import bow
+        from orbslam2_tpu.vocab.database import KeyFrameDatabase
+
+        descs, _ = self._clustered_descs(rng, n_clusters=20, per=40)
+        valid = jnp.ones(len(descs), bool)
+        cb = bow.train_codebook2(
+            jnp.asarray(descs), valid, jax.random.PRNGKey(2),
+            coarse_size=16, fine_size=16, iters=3, bucket_cap=512,
+        )
+        db = KeyFrameDatabase(cb, max_keyframes=8)
+        assert db.vectors.shape == (8, 256)
+        v = db.add(0, jnp.asarray(descs[:400]), jnp.ones(400, bool))
+        cand, mask, scores = db.query(
+            v, jnp.zeros(8, bool), 0.0, jnp.zeros((8, 8), jnp.int32)
+        )
+        assert float(scores[0]) > 0.99
