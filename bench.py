@@ -96,7 +96,7 @@ def main():
         # compile the loop-correction chain at session start (startup cost,
         # like the reference's DBoW2 vocabulary load) instead of inside the
         # measured orbit segment's first closure
-        vocab=VocabConfig(warmup_correction=True),
+        vocab=VocabConfig(warmup_correction=True, warmup_reloc=True),
     )
     profile = "--profile" in sys.argv
     warmup = 8
@@ -142,6 +142,16 @@ def main():
     )
     slamB, wallB, ateB, lostB = _run_segment(cfgB, seqB, nB, warmup, jax)
     loops = slamB.loop_closer.loops_closed if slamB.loop_closer else 0
+
+    if "--events" in sys.argv:
+        path = sys.argv[sys.argv.index("--events") + 1]
+        with open(path, "w") as f:
+            for tag, s in (("A", slamA), ("B", slamB)):
+                for e in s.log.events:
+                    rec = {k: (v.tolist() if hasattr(v, "tolist") else v)
+                           for k, v in e.items()}
+                    rec["segment"] = tag
+                    f.write(json.dumps(rec) + "\n")
 
     measured = (nA - warmup) + (nB - warmup)
     total = sum(wallA[warmup:]) + sum(wallB[warmup:])

@@ -260,6 +260,12 @@ class VocabConfig:
     # without it). Off by default: the hermetic CPU test suite would pay
     # the chain's compile in every session that never closes a loop.
     warmup_correction: bool = False
+    # precompile the relocalization chain (BoW query + reference-KF match
+    # + EPnP RANSAC + escalating projection search) at loop-closer init.
+    # Without it the FIRST LOST frame pays ~6 fresh remote compiles inside
+    # the tracking loop (measured 33 s on the tunneled v5e). Off by
+    # default for the same reason as warmup_correction.
+    warmup_reloc: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

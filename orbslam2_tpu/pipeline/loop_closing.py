@@ -838,6 +838,12 @@ class LoopCloser:
             if okay:
                 state = self.correct_loop(state, kf_id, c, S12, matches=f2_final)
                 return state, LoopResult(True, c, n_inl)
+            if self.log is not None:
+                # geometric verification rejected a consistency-accepted
+                # candidate — the signal that separates "vocabulary never
+                # proposed it" from "Sim3 killed it" in post-run analysis
+                self.log.emit("loop_sim3_fail", kf_id=kf_id, cand=int(c),
+                              num_inliers=int(n_inl))
         return state, None
 
     def detect(self, state: ms.MapState, kf_id: int) -> list[int]:
@@ -894,6 +900,15 @@ class LoopCloser:
                 if not m and pm < grace:
                     new_groups.append((pg, pc, pm + 1))
         self._consistent_groups = new_groups
+        if self.log is not None and cands:
+            # per-detection trace: how far each keyframe's candidates got
+            # through the consistency ladder (diagnosing a dead loop
+            # detector from the event stream alone)
+            self.log.emit(
+                "loop_detect", kf_id=int(kf_id), n_candidates=len(cands),
+                n_accepted=len(accepted),
+                max_count=max((g[1] for g in new_groups), default=0),
+            )
         # bound geometric-verification work: candidates arrive ordered by
         # accumulated BoW score; each attempt costs several dispatches
         return accepted[:6]

@@ -561,6 +561,8 @@ class System:
             self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
             if self.cfg.vocab.warmup_correction:
                 self.loop_closer.warmup_correction(state)
+            if self.cfg.vocab.warmup_reloc:
+                self.tracker.warmup_reloc(self.loop_closer.db)
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
 
     def _load_vocab_file(self):

@@ -544,6 +544,59 @@ class Tracker:
 
     # -- relocalization ----------------------------------------------------
 
+    def warmup_reloc(self, db):
+        """Precompile every program `relocalize` dispatches, with the live
+        map's shapes and a dummy frame. The relocalization chain is only
+        exercised when tracking is already LOST; on the remote-compile TPU
+        its ~6 fresh programs cost ~33 s (measured) in the middle of a
+        recovery attempt — pay them at session startup instead (same
+        rationale as LoopCloser.warmup_correction)."""
+        if db is None:
+            return
+        from orbslam2_tpu.solvers import epnp as epnp_mod
+        from orbslam2_tpu.vocab import bow as bow_mod
+
+        st = self.map
+        S = self.cfg.orb.feature_slots
+        f = FrameData(
+            frame_id=0, timestamp=0.0,
+            xy=jnp.zeros((S, 2), jnp.float32),
+            xy_raw=jnp.zeros((S, 2), jnp.float32),
+            ur=jnp.full((S,), -1.0, jnp.float32),
+            depth=jnp.full((S,), -1.0, jnp.float32),
+            octave=jnp.zeros((S,), jnp.int32),
+            angle=jnp.zeros((S,), jnp.float32),
+            desc=jnp.zeros((S, 8), jnp.uint32),
+            valid=jnp.zeros((S,), bool),
+        )
+        vec = bow_mod.bow_vector(f.desc, f.valid, db.codebook)
+        db.query(vec, ~st.kf_valid, 0.0, st.covis)
+        bind = reference_kf_match(
+            st.kf_desc[0], st.kf_point_idx[0], st.kf_angle[0],
+            st.kf_feat_valid[0], st.mp_valid, f,
+        )
+        pid = jnp.clip(bind, 0, st.capacity_mp - 1)
+        pnp = epnp_mod.ransac_pnp(
+            st.mp_pos[pid], f.xy, (bind >= 0) & st.mp_valid[pid],
+            self.inv_sigma2[jnp.clip(f.octave, 0, self.inv_sigma2.shape[0] - 1)],
+            self.K, jax.random.PRNGKey(0),
+            iters=self.cfg.solver.pnp_ransac_iters,
+            min_inliers=self.cfg.solver.pnp_min_inliers,
+        )
+        obs = build_pose_observations(bind, f, st.mp_pos, st.mp_valid, self.inv_sigma2)
+        res = pose_opt.pose_optimize(st.kf_Tcw[0], obs, self.K)
+        _, _, lpts, lptsm, _ = gather_local_map(
+            st, st.kf_point_idx[0],
+            max_local_kfs=self.cfg.map.max_local_keyframes,
+            max_local_points=self.cfg.map.max_local_points,
+        )
+        b2, _ = search_local_points(
+            st, lpts, lptsm, res.Tcw, bind, f, self.K,
+            self.scale_factors, self.bounds, jnp.float32(2.5),
+            num_levels=self.cfg.orb.num_levels,
+        )
+        jax.block_until_ready((pnp.Tcw, b2))
+
     def relocalize(self, frame: FrameData, db) -> bool:
         """Recover from LOST using the keyframe database
         (reference Tracking::Relocalization, src/Tracking.cc:1441-1603).

@@ -77,7 +77,8 @@ def main():
         # in the middle of the first loop closure (a 215 s frame without).
         # The bigger reservoir lets the vocabulary reach the two-level
         # 16k-word bucket mid-session (usable words ~ reservoir/4)
-        vocab=VocabConfig(warmup_correction=True, reservoir_cap=262144),
+        vocab=VocabConfig(warmup_correction=True, warmup_reloc=True,
+                          reservoir_cap=262144),
     )
 
     rev = 620  # frames per revolution
