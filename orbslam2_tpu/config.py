@@ -94,6 +94,16 @@ class MapConfig:
     # local map bounds (reference src/Tracking.cc:1378 caps local KFs at 80)
     max_local_keyframes: int = 80
     max_local_points: int = 8192
+    # capacity-pressure recycling never touches points created within the
+    # last N INSERTED keyframes (seq units). Under keyframe churn (one
+    # insert per frame entering new territory) a small maturity age lets
+    # recycling eat the active frontier: each insert recycles the points
+    # the next frames needed, coverage drops, the policy inserts MORE
+    # keyframes, and the loop starves tracking to LOST (observed on the
+    # 205-frame orbit at a saturated 16k pool — inliers 93 -> 36 -> lost).
+    # 24 matches the local-BA window: the points local BA still optimizes
+    # are exactly the ones tracking still needs.
+    recycle_min_age_kfs: int = 24
 
 
 @dataclasses.dataclass(frozen=True)

@@ -316,6 +316,7 @@ def keyframe_step(
     num_levels: int = 8,
     create_close_points: bool = True,
     all_depths: bool = False,
+    recycle_min_age: int = 24,
 ) -> tuple[ms.MapState, jnp.ndarray, jnp.ndarray]:
     """Insert a keyframe and run the mapping stages (reference
     LocalMapping::Run body, src/LocalMapping.cc:48-97, sans BA).
@@ -332,7 +333,7 @@ def keyframe_step(
         jnp.where(point_idx >= 0, point_idx, state.capacity_mp)
     ].set(True, mode="drop")
     state = lm.ensure_free_slots(state, state.num_kf, headroom=2 * S,
-                                 protect=protect)
+                                 protect=protect, min_age=recycle_min_age)
 
     # 1) insert keyframe with current bindings
     state, kf_id = ms.add_keyframe.__wrapped__(
@@ -511,6 +512,7 @@ def keyframe_full_step(
     iters1: int = 5,
     iters2: int = 10,
     run_ba: bool = True,
+    recycle_min_age: int = 24,
 ):
     """keyframe insertion + mapping + probation culling + local BA as ONE
     program (one dispatch per keyframe).
@@ -522,7 +524,7 @@ def keyframe_full_step(
         covis_threshold=covis_threshold, n_neighbors=n_neighbors,
         n2_neighbors=n2_neighbors,
         num_levels=num_levels, create_close_points=create_close_points,
-        all_depths=all_depths,
+        all_depths=all_depths, recycle_min_age=recycle_min_age,
     )
     # "now" for probation ages = this keyframe's seq (slot ids are recycled)
     now_seq = state.kf_seq[jnp.clip(kf_id, 0, state.capacity_kf - 1)]
@@ -703,6 +705,7 @@ def frame_and_keyframe_step(
     use_close_cond: bool = True,
     sensor: str = "rgbd",
     defer_ba: bool = False,
+    recycle_min_age: int = 24,
 ):
     """The ENTIRE per-frame pipeline — frame build, tracking, on-device
     keyframe policy, and (conditionally, via lax.cond) keyframe insertion +
@@ -796,7 +799,7 @@ def frame_and_keyframe_step(
             num_levels=num_levels, create_close_points=create_close_points,
             max_local=max_local, max_fixed=max_fixed, max_points=max_points,
             obs_slots=obs_slots, iters1=iters1, iters2=iters2,
-            run_ba=not defer_ba,
+            run_ba=not defer_ba, recycle_min_age=recycle_min_age,
         )
 
     def no_kf(st):

@@ -174,20 +174,28 @@ def cull_points(state: ms.MapState, point_ids, current_kf):
 
 
 def ensure_free_slots(state: ms.MapState, current_kf, headroom: int,
-                      protect=None):
+                      protect=None, min_age: int = 24):
     """Capacity-pressure recycling: keep at least `headroom` free point
     slots by invalidating the weakest MATURE points (lowest n_obs, then
-    worst found-ratio; probation-age points are protected).
+    worst found-ratio; points younger than `min_age` inserted keyframes
+    are protected).
 
     The reference's Map is unbounded (std::set, src/Map.cc) so it never
     faces this; a fixed-capacity device pytree must recycle or a long
     session starves — once mp_valid saturates, add_points drops every new
     point, fresh keyframes bind almost nothing, and loop-closure brute
-    matches fall below their gates (observed on the 205-frame orbit)."""
+    matches fall below their gates (observed on the 205-frame orbit).
+
+    `min_age` must be LARGE (the local-BA window, not the probation age of
+    3): under keyframe churn one keyframe inserts per frame, so a 3-seq
+    maturity let recycling eat the just-triangulated frontier the next
+    frames depended on — coverage fell, the policy inserted even more
+    keyframes, and the feedback loop starved tracking to LOST
+    (MapConfig.recycle_min_age_kfs)."""
     P = state.capacity_mp
     n_free = jnp.sum(~state.mp_valid)
     age = current_kf - state.mp_first_kf
-    candidate = state.mp_valid & (age >= 3)
+    candidate = state.mp_valid & (age >= min_age)
     if protect is not None:
         candidate = candidate & ~protect
     fr = state.mp_found.astype(jnp.float32) / jnp.maximum(

@@ -908,6 +908,9 @@ class LoopCloser:
                 "loop_detect", kf_id=int(kf_id), n_candidates=len(cands),
                 n_accepted=len(accepted),
                 max_count=max((g[1] for g in new_groups), default=0),
+                cands=[int(c) for c in cands],
+                cand_seq=[int(self._seq_of.get(int(c), -1)) for c in cands],
+                kf_seq=int(seq_cur) if (seq_cur := self._seq_of.get(kf_id)) is not None else -1,
             )
         # bound geometric-verification work: candidates arrive ordered by
         # accumulated BoW score; each attempt costs several dispatches

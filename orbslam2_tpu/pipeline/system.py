@@ -338,6 +338,7 @@ class System:
             use_close_cond=cfg.sensor != Sensor.MONOCULAR,
             sensor=sensor,
             defer_ba=cfg.tracking.defer_local_ba,
+            recycle_min_age=cfg.map.recycle_min_age_kfs,
         )
         self.map = state
         t.map = state
@@ -770,6 +771,7 @@ class System:
             obs_slots=min(sc.ba_max_obs_per_point, int(self.map.obs_slots)),
             iters1=sc.local_ba_iters_first, iters2=sc.local_ba_iters_second,
             run_ba=run_ba,
+            recycle_min_age=cfg.map.recycle_min_age_kfs,
         )
         kf_id_np, keep_np, new_pids_np, kf_Tcw_np, cull_ids_np, cull_red_np = (
             jax.device_get((kf_dev, keep, new_pids, kf_Tcw_new, cull_ids, cull_red))

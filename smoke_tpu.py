@@ -45,7 +45,7 @@ def main():
         orb=OrbConfig(num_features=1000, feature_slots=1024),
         map=MapConfig(max_keyframes=96, max_points=16384, max_local_points=4096),
         tracking=TrackingConfig(th_depth=40.0, pipeline_depth=2),
-        solver=SolverConfig(ba_max_points=2048, local_ba_iters_first=3,
+        solver=SolverConfig(ba_max_points=4096, local_ba_iters_first=3,
                             local_ba_iters_second=4,
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
         vocab=VocabConfig(warmup_correction=False),
