@@ -50,9 +50,15 @@ def sharded_query(
         scores_l = bow.l1_score(q, vecs_l)  # [K/n] local rows
         ok_l = present_l & ~excl_l & (scores_l >= min_s)
         scores_ok_l = jnp.where(ok_l, scores_l, 0.0)
-        # K floats across the mesh: the only collectives in the query
-        ok = jax.lax.all_gather(ok_l, "kfs", tiled=True)
-        scores = jax.lax.all_gather(scores_l, "kfs", tiled=True)
+        # pack (ok, scores) into ONE [K/n, 2] gather: at this scale the
+        # query is collective-latency-bound (SCALING_r04: 25.4% @ 2
+        # devices with four K-float gathers), not bandwidth-bound
+        g1 = jax.lax.all_gather(
+            jnp.stack([ok_l.astype(jnp.float32), scores_l], axis=1),
+            "kfs", axis=0, tiled=True,
+        )
+        ok = g1[:, 0] > 0.5
+        scores = g1[:, 1]
         K = scores.shape[0]
         L = covis_l.shape[0]
         # top-10 covisibility group per LOCAL row (reference accScore over
@@ -69,8 +75,14 @@ def sharded_query(
         rep_l = jnp.where(
             best_n_score > scores_ok_l, top_idx[jnp.arange(L), best_n], rows_g
         )
-        acc = jax.lax.all_gather(acc_l, "kfs", tiled=True)
-        rep = jax.lax.all_gather(rep_l, "kfs", tiled=True)
+        # second (and last) collective: (acc, rep) packed the same way
+        # (rep is a keyframe index, exact in f32 for any realistic K)
+        g2 = jax.lax.all_gather(
+            jnp.stack([acc_l, rep_l.astype(jnp.float32)], axis=1),
+            "kfs", axis=0, tiled=True,
+        )
+        acc = g2[:, 0]
+        rep = g2[:, 1].astype(jnp.int32)
         acc = jnp.where(ok, acc, -1.0)
         best = jnp.max(acc)
         admit_group = ok & (acc >= 0.75 * best) & (best > 0)

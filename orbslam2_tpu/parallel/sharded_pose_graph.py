@@ -6,20 +6,23 @@ edge-dominated: each Gauss-Newton iteration evaluates a residual and two
 E in the thousands) the edge work is the scalable axis:
 
 * EDGES are sharded across the mesh's ``edges`` axis — each device runs
-  the forward-mode Jacobian sweep over its slice only and keeps the
-  per-edge blocks LOCAL;
-* the inner solve is matrix-free block-Jacobi PCG
-  (solvers/pose_graph.pcg_solve): each CG step does the Hessian-vector
-  product on the local edge slice and `psum`s a single [K, 7] vector —
-  the round-2 design psum'd a dense [K,K,7,7] system (49 K^2 floats) and
-  then solved (7K)^3 REPLICATED, which anti-scaled 1 -> 8 devices
-  (SCALING_r02: 626 -> 5203 ms/iter); the collective here is 7K floats;
-* the [K,7,7] diagonal blocks + gradient are psum'd once per GN iteration
-  to build the preconditioner (replicated, O(K*49) — tiny).
+  the forward-mode Jacobian sweep (the expensive term: jacfwd through
+  sim3 log/exp per edge) over its slice only;
+* the per-edge blocks are `all_gather`-ed ONCE per GN iteration (one
+  [E, 105] payload: Ji + Jj + rw) and the block-Jacobi PCG inner solve
+  runs REPLICATED with zero collectives. The round-4 design kept the
+  blocks local and psum'd a [K, 7] Hessian-vector product per CG step —
+  iters * cg_iters = 1280 latency-bound collectives, 54.9% strong-scaling
+  efficiency at 2 devices (SCALING_r04); this design issues `iters`
+  collectives total. The replicated CG compute is trivial (~E * 4 * 49
+  FLOPs per step); the scalable axis — the Jacobian sweep — still
+  distributes. (Round 2's all-replicated dense assembly anti-scaled for a
+  different reason: a 49 K^2-float psum + (7K)^3 factorization.)
 
 Same jitted step on 1 device or N (SURVEY.md §4 mesh-parametrized
-testing); matches `solvers/pose_graph.optimize_pose_graph_pcg` bit-for-bit
-on a 1-device mesh and numerically on any mesh (psum reorders additions).
+testing); matches `solvers/pose_graph.optimize_pose_graph_pcg` BIT-FOR-BIT
+on any mesh size: the tiled all_gather reassembles the edge blocks in
+their original order, so no reduction is ever reordered.
 """
 
 from __future__ import annotations
@@ -48,27 +51,34 @@ def sharded_optimize_pose_graph(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), espec, espec, espec, espec, espec),
+        in_specs=(P(), P(), P(), espec, espec, espec, espec, espec, P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run(verts0, vfixed, vvalid, ei, ej, emeas, evalid, eweight):
+    def run(verts0, vfixed, vvalid, ei, ej, emeas, evalid, eweight,
+            ei_full, ej_full):
         free = vvalid & ~vfixed
-        Ai, Aj = pg.incidence_onehot(ei, ej, K)  # local edge slice
+        # FULL incidence: the inner solve runs replicated over all edges
+        Ai, Aj = pg.incidence_onehot(ei_full, ej_full, K)
 
         def gn_iter(verts, _):
+            # distributed: the forward-mode Jacobian sweep on the local slice
             rw, Ji, Jj = pg.edge_jacobians(
                 verts, ei, ej, emeas, evalid, eweight, vfixed
             )
-            D, g = pg.assemble_diag_g(Ji, Jj, Ai, Aj, rw)
-            # [K,7,7] + [K,7] once per GN iteration (preconditioner + rhs)
-            D = jax.lax.psum(D, "edges")
-            g = jax.lax.psum(g, "edges")
-            # each CG step psums one [K,7] vector (the Hessian-vector
-            # product over the local edge slice)
+            # ONE collective per GN iteration: tiled all_gather of the
+            # per-edge blocks (order-preserving -> bit-identical to the
+            # single-device solve)
+            payload = jnp.concatenate(
+                [Ji.reshape(-1, 49), Jj.reshape(-1, 49), rw], axis=1
+            )
+            payload = jax.lax.all_gather(payload, "edges", axis=0, tiled=True)
+            Ji_f = payload[:, :49].reshape(-1, 7, 7)
+            Jj_f = payload[:, 49:98].reshape(-1, 7, 7)
+            rw_f = payload[:, 98:]
+            D, g = pg.assemble_diag_g(Ji_f, Jj_f, Ai, Aj, rw_f)
             dx = pg.pcg_solve(
-                Ji, Jj, ei, ej, Ai, Aj, D, g, free, cg_iters,
-                reduce_fn=lambda y: jax.lax.psum(y, "edges"),
+                Ji_f, Jj_f, ei_full, ej_full, Ai, Aj, D, g, free, cg_iters,
             )
             return pg.apply_update(verts, dx), None
 
@@ -79,6 +89,7 @@ def sharded_optimize_pose_graph(
         prob.vertices, prob.vertex_fixed, prob.vertex_valid,
         prob.edge_i, prob.edge_j, prob.edge_meas,
         prob.edge_valid, prob.edge_weight,
+        prob.edge_i, prob.edge_j,
     )
 
 

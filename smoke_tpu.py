@@ -1,17 +1,22 @@
-"""2-minute on-TPU regression gate (round-3 verdict item 7).
+"""On-TPU regression gate (round-3 verdict item 7; extended round 5).
 
 The hermetic CPU suite cannot see TPU-only numerics (the Pallas pose-GN
 kernel, bf16 edges, relay dispatch behavior): round 3 shipped a 3x fps
-regression with a green CPU suite. This smoke runs N warm frames of the
-SAME forward scene as bench.py segment A on the real chip and asserts:
+regression with a green CPU suite, and round 4 shipped a DEAD loop closer
+behind a smoke gate that only measured the forward segment (verdict weak
+#2: "a gate that doesn't cover the flagship capability is not a gate").
 
-* 0 lost frames,
-* ATE within an absolute bound,
-* steady-state fps >= 0.8x the previous recorded smoke (SMOKE_BASELINE.json,
-  updated on every passing run that beats the recorded number).
+Two segments on the real chip, mirroring bench.py:
 
-Exit code 0 = pass. Prints one JSON line. Run alongside bench.py at round
-end and whenever a hot-path change lands.
+* forward dolly (48 frames): 0 lost, ATE <= 0.005, steady fps >= 0.8x the
+  ROLLING MEDIAN of the last 5 passing runs (SMOKE_BASELINE.json; round 4
+  used best-ever semantics, whose floor drifted above what the shipped
+  config could do);
+* orbit + revisit (the flagship capability): loops_closed >= 1, 0 lost,
+  post-closure ATE <= 0.05.
+
+Exit code 0 = pass. Prints one JSON line. Run before EVERY snapshot that
+touches pipeline/solver/map code.
 """
 
 import json
@@ -26,6 +31,8 @@ def main():
     os.makedirs("/root/.cache/jaxcache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import dataclasses
 
     import numpy as np
     import jax.numpy as jnp
@@ -50,38 +57,58 @@ def main():
                             ba_max_local_kfs=24, ba_max_fixed_kfs=16),
         vocab=VocabConfig(warmup_correction=False),
     )
+
+    def run(cfg, seq, n):
+        frames = [tuple(jax.device_put(jnp.asarray(a)) for a in seq.frame(i))
+                  for i in range(n)]
+        slam = System(cfg)
+        wall = []
+        for i in range(n):
+            img, depth = frames[i]
+            t0 = time.perf_counter()
+            slam.track_rgbd(img, depth, timestamp=i / 30.0)
+            wall.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        slam.flush()
+        wall[-1] += time.perf_counter() - t0
+        _, poses, tracked = slam.frame_poses()
+        tracked_np = np.asarray(tracked)
+        ate = float(ate_rmse(poses[tracked_np], seq.poses[tracked_np],
+                             align=True)) if tracked_np.any() else float("nan")
+        return slam, wall, ate, int((~tracked_np).sum())
+
+    # ---- forward segment: fps + accuracy floor -------------------------
     n, warm = 48, 8
     seq = synthetic.textured_sequence(n_frames=n, kind="forward", cam=cfg.camera)
-    frames = [tuple(jax.device_put(jnp.asarray(a)) for a in seq.frame(i))
-              for i in range(n)]
-    slam = System(cfg)
-    wall = []
-    for i in range(n):
-        img, depth = frames[i]
-        t0 = time.perf_counter()
-        slam.track_rgbd(img, depth, timestamp=i / 30.0)
-        wall.append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    slam.flush()
-    wall[-1] += time.perf_counter() - t0
-    _, poses, tracked = slam.frame_poses()
-    tracked_np = np.asarray(tracked)
-    ate = float(ate_rmse(poses[tracked_np], seq.poses[tracked_np], align=True))
-    lost = int((~tracked_np).sum())
+    slam, wall, ate, lost = run(cfg, seq, n)
     fps = (n - warm) / sum(wall[warm:])
+
+    # ---- orbit segment: the flagship capability must WORK --------------
+    cfgB = dataclasses.replace(cfg, tracking=dataclasses.replace(
+        cfg.tracking, th_depth=130.0))
+    nB_orbit, nB_rev = 170, 35
+    seqB = synthetic.textured_sequence(n_frames=nB_orbit, kind="orbit",
+                                       cam=cfg.camera)
+    seqB = dataclasses.replace(
+        seqB, poses=np.concatenate([seqB.poses, seqB.poses[:nB_rev]]))
+    slamB, wallB, ateB, lostB = run(cfgB, seqB, nB_orbit + nB_rev)
+    loops = slamB.loop_closer.loops_closed if slamB.loop_closer else 0
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "SMOKE_BASELINE.json")
-    prev = None
+    hist = []
     if os.path.exists(base_path):
         with open(base_path) as f:
-            prev = json.load(f).get("fps")
+            rec = json.load(f)
+        hist = rec.get("history", [rec["fps"]] if "fps" in rec else [])
+    prev = float(np.median(hist)) if hist else None
 
-    ok = lost == 0 and ate <= 0.005
-    # relay variance is ~±1.5 fps run-to-run (CLAUDE.md); 0.8x bounds a
-    # real regression, not noise
-    if prev is not None:
-        ok = ok and fps >= 0.8 * prev
+    ok_fwd = lost == 0 and ate <= 0.005
+    ok_loop = loops >= 1 and lostB == 0 and ateB <= 0.05
+    # relay variance is ~±1.5 fps run-to-run (CLAUDE.md); 0.8x of the
+    # rolling median bounds a real regression, not noise
+    ok_fps = prev is None or fps >= 0.8 * prev
+    ok = ok_fwd and ok_loop and ok_fps
     out = {
         "metric": "tpu_smoke",
         "value": round(fps, 2),
@@ -89,13 +116,17 @@ def main():
         "vs_baseline": round(fps / prev, 3) if prev else None,
         "ok": ok,
         "extra": {"ate_rmse_m": round(ate, 4), "lost_frames": lost,
-                  "frames": n - warm, "prev_fps": prev,
+                  "frames": n - warm, "median_prev_fps": prev,
+                  "orbit": {"loops_closed": loops, "lost": lostB,
+                            "ate_rmse_m": round(ateB, 4),
+                            "ok": ok_loop},
                   "device": str(jax.devices()[0])},
     }
     print(json.dumps(out))
-    if ok and (prev is None or fps > prev):
+    if ok:
+        hist = (hist + [round(fps, 2)])[-5:]
         with open(base_path, "w") as f:
-            json.dump({"fps": round(fps, 2), "ate": round(ate, 4)}, f)
+            json.dump({"history": hist, "ate": round(ate, 4)}, f)
     return 0 if ok else 1
 
 

@@ -143,9 +143,12 @@ class TestMapState:
         assert (np.asarray(pids[256:]) == -1).all()
 
     def test_capacity_pressure_recycling(self, rng):
-        """ensure_free_slots keeps headroom by killing the weakest mature
-        points, protects young and explicitly-protected points, and is a
-        no-op when the pool has room."""
+        """ensure_free_slots keeps headroom via TIERED eviction: mature
+        weak points go first, the young frontier second, well-observed
+        anchors only as a last resort; explicitly-protected points are
+        never touched and a pool with room is a no-op (round-4 verdict:
+        the oldest-first policy recycled the loop anchors and Sim3
+        verification died with 0 inliers)."""
         from orbslam2_tpu.pipeline import local_mapping as lm
 
         st = blank()
@@ -160,14 +163,23 @@ class TestMapState:
                 jnp.zeros(32), jnp.ones(32), jnp.full(32, -1.0),
             )
         assert int(jnp.sum(st.mp_valid)) == P
-        # mature points: created at kf 0; pretend we are about to insert
-        # kf 5 so age >= 3 for everything. Give points 0..9 high n_obs.
+        # anchors: points 0..9 observed by 3 live keyframes (kf 0 plus two
+        # more inserted below)
+        st, k1 = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=1))
+        st, k2 = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=2))
+        obs = st.mp_obs_kf.at[:10, :3].set(
+            jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32), (10, 3))
+        )
+        st = st._replace(mp_obs_kf=obs)
+        # everything was created at seq 0; pretend we are far past
+        # maturity (seq 40 > recycle_min_age_kfs) so all non-anchors are
+        # tier-0 mature candidates
         st = st._replace(mp_n_obs=st.mp_n_obs.at[:10].set(9))
         protect = jnp.zeros(P, bool).at[10:20].set(True)
-        out = lm.ensure_free_slots(st, jnp.int32(5), headroom=64, protect=protect)
+        out = lm.ensure_free_slots(st, jnp.int32(40), headroom=64, protect=protect)
         freed = P - int(jnp.sum(out.mp_valid))
         assert freed == 64
-        # strong and protected points survive
+        # anchors and protected points survive
         assert bool(out.mp_valid[:20].all())
         # freed slots are clean: no bindings left behind
         dead = ~np.asarray(out.mp_valid)
@@ -175,13 +187,67 @@ class TestMapState:
         kpi = np.asarray(out.kf_point_idx[0])
         bound = kpi[kpi >= 0]
         assert np.asarray(out.mp_valid)[bound].all()
-        # young points (age < 3) are never recycled even under pressure
-        st_young = st._replace(mp_first_kf=jnp.full(P, 4, jnp.int32))
-        out2 = lm.ensure_free_slots(st_young, jnp.int32(5), headroom=64)
-        assert int(jnp.sum(out2.mp_valid)) == P
+        # mixed ages: the mature half is evicted before the young frontier
+        ages = jnp.where(jnp.arange(P) < P // 2, 0, 38).astype(jnp.int32)
+        st_mix = st._replace(mp_first_kf=ages,
+                             mp_obs_kf=jnp.full_like(st.mp_obs_kf, -1))
+        out2 = lm.ensure_free_slots(st_mix, jnp.int32(40), headroom=64)
+        assert bool(out2.mp_valid[P // 2:].all()), "frontier eaten before mature"
+        # deadlock-free: an all-young saturated pool STILL frees slots
+        # (round-4 advisor: min_age=24 with no fallback could deadlock a
+        # saturated pool and silently drop every new point)
+        st_young = st._replace(mp_first_kf=jnp.full(P, 39, jnp.int32),
+                               mp_obs_kf=jnp.full_like(st.mp_obs_kf, -1))
+        out3 = lm.ensure_free_slots(st_young, jnp.int32(40), headroom=64)
+        assert P - int(jnp.sum(out3.mp_valid)) == 64
         # with headroom available it is a no-op
-        out3 = lm.ensure_free_slots(out, jnp.int32(5), headroom=32)
-        assert int(jnp.sum(out3.mp_valid)) == int(jnp.sum(out.mp_valid))
+        out4 = lm.ensure_free_slots(out, jnp.int32(40), headroom=32)
+        assert int(jnp.sum(out4.mp_valid)) == int(jnp.sum(out.mp_valid))
+
+    def test_invalidate_scrubs_overflowed_bindings(self, rng):
+        """Round-4 verdict weak #5: a point observed by MORE keyframes than
+        its obs table holds keeps the overflowed kf_point_idx bindings
+        after invalidation (the obs-table walk can't see them); once the
+        slot is recycled those bindings alias a DIFFERENT 3D point.
+        invalidate_points must scrub EVERY binding (reference
+        MapPoint::SetBadFlag erases all observations, src/MapPoint.cc:
+        169-196)."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()  # obs_slots = 4
+        st, k0 = ms.add_keyframe(st, **mk_kf_args(rng))
+        pos = jnp.ones((8, 3))
+        st, pids = ms.add_points(
+            st, pos, jnp.ones(8, bool), k0, jnp.arange(8, dtype=jnp.int32),
+            jnp.zeros((8, 8), jnp.uint32), jnp.zeros((8, 3)),
+            jnp.zeros(8), jnp.ones(8), jnp.full(8, -1.0),
+        )
+        pid0 = int(pids[0])
+        # bind point 0 into 5 more keyframes -> 6 total observers, but the
+        # obs table holds only 4: two bindings are silently dropped
+        for fid in range(1, 6):
+            pi = jnp.full(32, -1, jnp.int32).at[0].set(pid0)
+            st, _ = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid, point_idx=pi))
+        n_bound = int((np.asarray(st.kf_point_idx) == pid0).sum())
+        assert n_bound == 6
+        assert int((np.asarray(st.mp_obs_kf[pid0]) >= 0).sum()) == 4
+        # invalidate the point: EVERY binding must be gone, including the
+        # two the obs table never recorded
+        st = lm.invalidate_points(
+            st, jnp.asarray([pid0], jnp.int32), jnp.asarray([True])
+        )
+        assert not bool(st.mp_valid[pid0])
+        assert int((np.asarray(st.kf_point_idx) == pid0).sum()) == 0
+        # refill the slot: no keyframe may still reference it
+        st, pids2 = ms.add_points(
+            st, jnp.full((1, 3), 9.0), jnp.ones(1, bool), jnp.int32(0),
+            jnp.asarray([7], jnp.int32),
+            jnp.zeros((1, 8), jnp.uint32), jnp.zeros((1, 3)),
+            jnp.zeros(1), jnp.ones(1), jnp.full(1, -1.0),
+        )
+        assert int(pids2[0]) == pid0  # slot actually recycled
+        refs = np.argwhere(np.asarray(st.kf_point_idx) == pid0)
+        assert refs.shape[0] == 1 and tuple(refs[0]) == (0, 7)
 
     def test_keyframe_slot_recycling(self, rng):
         """Culled keyframe slots are reused; seq/order semantics survive
@@ -211,6 +277,36 @@ class TestMapState:
         # parent fallback: no covisibility -> most recently inserted older
         # keyframe, which is slot 7 (seq 7), NOT slot 2 (slot order)
         assert int(st.kf_parent[3]) == 7
+
+    def test_greedy_reparenting(self, rng):
+        """Culling a hub keyframe reparents each child to its STRONGEST
+        covisible among {grandparent} U {already-reparented siblings} in
+        greedy best-pair order (reference KeyFrame::SetBadFlag,
+        src/KeyFrame.cc:555-598), not uniformly to the grandparent
+        (round-4 verdict missing #5)."""
+        from orbslam2_tpu.pipeline import local_mapping as lm
+
+        st = blank()
+        for fid in range(4):
+            st, _ = ms.add_keyframe(st, **mk_kf_args(rng, frame_id=fid))
+        # tree: 0 <- 1 (hub), children 2 and 3 under the hub
+        st = st._replace(
+            kf_parent=jnp.asarray([-1, 0, 1, 1] + [-1] * 4, jnp.int32))
+        covis = np.zeros((8, 8), np.int32)
+        # child 2 is strongly covisible with the grandparent; child 3 only
+        # with its sibling 2
+        covis[2, 0] = covis[0, 2] = 20
+        covis[3, 0] = covis[0, 3] = 5
+        covis[3, 2] = covis[2, 3] = 30
+        st = st._replace(covis=jnp.asarray(covis))
+        out = lm.remove_keyframe(st, jnp.int32(1))
+        assert int(out.kf_parent[2]) == 0      # strongest: grandparent
+        assert int(out.kf_parent[3]) == 2      # strongest: reparented sibling
+        # a child with NO covisible candidate falls back to the grandparent
+        st2 = st._replace(covis=jnp.zeros((8, 8), jnp.int32))
+        out2 = lm.remove_keyframe(st2, jnp.int32(1))
+        assert int(out2.kf_parent[2]) == 0
+        assert int(out2.kf_parent[3]) == 0
 
     def test_point_age_uses_seq_not_slot(self, rng):
         """mp_first_kf stores the creating keyframe's SEQ: a point created
