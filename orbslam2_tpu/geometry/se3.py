@@ -51,17 +51,28 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation [..., 3, 3] -> axis-angle [..., 3]."""
+    """Rotation [..., 3, 3] -> axis-angle [..., 3].
+
+    DIFFERENTIABLE AT IDENTITY: arccos' blows up at cos = ±1, and theta
+    previously fed the *selected* small-angle Taylor branch, so forward-
+    mode tangents (jacfwd) of any residual that is exactly zero came out
+    NaN — which silently zeroed every pose-graph Gauss-Newton step whose
+    graph contained one exactly-satisfied edge (loop correction builds
+    its edge measurements from the current poses, so MOST edges are).
+    The arccos input is clamped strictly inside (-1, 1) and the small
+    branch uses sin^2(theta) = |w|^2 (a polynomial in R) instead of
+    theta, so no lane's selected value depends on a non-finite tangent."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
+    sin2 = jnp.sum(w * w, axis=-1)              # sin^2(theta), smooth in R
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
     sin_t = jnp.sin(theta)
-    # theta / (2 sin theta), Taylor near 0
-    small = theta[..., None] < 1e-2
+    # theta / (2 sin theta), Taylor near 0 (theta^2 ~ sin^2 to O(theta^4))
+    small = (cos_t > 0.99995)[..., None]        # theta < 1e-2
     scale = jnp.where(
         small,
-        0.5 + theta[..., None] ** 2 / 12.0,
+        0.5 + sin2[..., None] / 12.0,
         theta[..., None] / jnp.maximum(2.0 * sin_t[..., None], _EPS),
     )
     w_generic = 2.0 * scale * w

@@ -352,20 +352,18 @@ def _verify_candidate(
         S_cw[0], S_cw[1], S_cw[2], f2_final, K, scale_factors,
         num_levels=num_levels,
     )
-    # acceptance: the reference chain (n_brute >= 20 BoW matches, then
-    # >= min_inliers after joint optimization, then >= 40 guided matches,
-    # src/LoopClosing.cc:276,:369,:418) — plus an escape for true revisits
-    # whose BoW brute match is thin but whose extended+optimized support
-    # is overwhelming (observed: n_brute 17 -> 56 optimized inliers, 139
-    # guided; the brute gate alone delayed the closure two keyframes).
-    # The escape demands DOUBLE the optimized-inlier bar: a weak-evidence
-    # early closure (28 inliers at the first revisit keyframe) measurably
-    # under-corrects vs waiting one keyframe for a strong one. False
+    # acceptance: the strict reference chain — n_brute >= 20 BoW matches,
+    # >= min_inliers after joint optimization, >= 40 guided matches
+    # (src/LoopClosing.cc:276,:369,:418). Relaxed variants were measured
+    # on the 205-frame orbit and REJECTED: accepting thin-brute candidates
+    # on optimized-inlier evidence alone closed the loop 1-2 keyframes
+    # earlier at 28-56 inliers and left 2-3x the post-closure ATE of the
+    # strict gate's later 133-inlier closure (a slightly early weak
+    # correction is worse than a slightly late strong one). False
     # mid-orbit candidates top out at <= 5 optimized / <= 16 guided.
-    strong = opt.num_inliers >= 2 * min_inliers
     ok = (
-        ((n_brute >= 20) & (opt.num_inliers >= min_inliers)) | strong
-    ) & (count >= 40)
+        (n_brute >= 20) & (opt.num_inliers >= min_inliers) & (count >= 40)
+    )
     stats = jnp.stack([
         n_brute.astype(jnp.int32), opt.num_inliers.astype(jnp.int32),
         count.astype(jnp.int32), ok.astype(jnp.int32),
@@ -411,7 +409,7 @@ def _propagate_neighborhood(
     vert = jnp.where(nbh[:, None], corrected, old_pack)
 
     score = jnp.where(nbh, covis_row, -1).at[kf_id].set(jnp.int32(1 << 20))
-    _, targets = jax.lax.top_k(score, max_targets)
+    _, targets = jax.lax.top_k(score, min(max_targets, Kcap))
     target_ok = score[targets] > 0
     return old_pack, vert, targets.astype(jnp.int32), target_ok
 
@@ -953,6 +951,14 @@ class LoopCloser:
             self._seq_of.get(kf_id, -1) != pv["seq"]
             or self._seq_of.get(cand, -1) != pv["cand_seqs"][pv["idx"]]
         )
+        if ok and not stale:
+            # one extra pull, only on the rare success path: a cull that
+            # freed either slot without the slot being re-used yet is
+            # invisible to the _seq_of mirror
+            v1, v2 = jax.device_get(
+                (state.kf_valid[kf_id], state.kf_valid[cand])
+            )
+            stale = not (bool(v1) and bool(v2))
         if ok and not stale:
             self._pending_verify = None
             # points may have been invalidated/recycled since dispatch;

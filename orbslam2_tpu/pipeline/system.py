@@ -634,15 +634,35 @@ class System:
                           loops_closed=lc.loops_closed,
                           obs_truncations=lc.obs_truncations,
                           edge_truncations=lc.edge_truncations)
-            # poses moved globally: re-anchor tracking to the corrected
-            # reference keyframe and drop the motion model
-            t.refresh_ref_pose()
-            if t.ref_kf >= 0:
-                t.last_Tcw = state.kf_Tcw[t.ref_kf]
-            t.velocity = None
-            self._anchor = None
+            # poses moved globally: re-anchor tracking and drop the motion
+            # model
+            self._reanchor_after_map_move()
             return True
         return False
+
+    def _reanchor_after_map_move(self):
+        """Re-anchor tracking after a global map move (loop correction or
+        GBA fold-in): refresh the cached reference-keyframe pose and carry
+        the last frame's pose into the corrected frame via its RELATIVE
+        pose to the reference keyframe (reference src/Tracking.cc:296-310
+        re-derives the frame pose from the updated reference the same
+        way). Snapping last_Tcw to the reference keyframe's own pose — the
+        round-4 behaviour — teleported the anchor backwards by however far
+        tracking had moved past the keyframe, and with the motion model
+        dropped too the next coarse search started that far off; measured
+        post-correction LOST frames with 300+ local inliers."""
+        t = self.tracker
+        t.refresh_ref_pose()
+        if t.trajectory:
+            _, Tcr, ref, okf = t.trajectory[-1]
+            if ref >= 0 and ref == t.ref_kf and okf:
+                t.last_Tcw = jnp.asarray(Tcr @ t._ref_pose_np)
+            elif t.ref_kf >= 0:
+                t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
+        elif t.ref_kf >= 0:
+            t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
+        t.velocity = None
+        self._anchor = None
 
     def _dispatch_deferred_ba(self, kf_id: int):
         """Fire-and-forget local BA for a just-resolved keyframe (the fused
@@ -678,13 +698,8 @@ class System:
         self.map, folded = lc.step_gba_async(self.map)
         if not folded:
             return False
-        t = self.tracker
-        t.map = self.map
-        t.refresh_ref_pose()
-        if t.ref_kf >= 0:
-            t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
-        t.velocity = None
-        self._anchor = None
+        self.tracker.map = self.map
+        self._reanchor_after_map_move()
         return True
 
     def track_stereo(self, left, right, timestamp: float = 0.0) -> np.ndarray:

@@ -36,7 +36,7 @@ def main():
     )
     seq = synthetic.textured_sequence(n_frames=170, kind="orbit", cam=cfg.camera)
     seq = dataclasses.replace(seq, poses=np.concatenate([seq.poses, seq.poses[:35]]))
-    slam = System(cfg)
+    slam = System(cfg, enable_loop_closing="--no-loop" not in sys.argv)
     for i in range(len(seq)):
         img, depth = seq.frame(i)
         slam.track_rgbd(img, depth, timestamp=i / 30.0)
