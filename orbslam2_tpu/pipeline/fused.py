@@ -214,10 +214,20 @@ def track_step(
     close_tracked = jnp.sum(close & (bind_f >= 0))
     close_free = jnp.sum(close & (bind_f < 0))
 
+    # health rides the FINAL evidence, not the seed: right after a loop
+    # correction the coarse stage can fail (motion model dropped, anchors
+    # freshly re-derived) while the local-map passes still converge with
+    # hundreds of inliers from the re-anchored seed — the shipped round-4
+    # pipeline declared such frames LOST (measured: deterministic LOST
+    # with 323 local inliers one frame after every orbit closure). A
+    # 3x-the-accept-gate local count cannot come from a diverged pose:
+    # the association search is radius-gated around the seed and inliers
+    # are chi2-classified per round.
+    strong_local = n_inl >= 3 * p.min_track_local
     out = TrackOut(
         Tcw=Tcw_f,
         point_idx=bind_f,
-        ok=coarse_ok & (n_inl >= p.min_track),
+        ok=(coarse_ok | strong_local) & (n_inl >= p.min_track),
         n_inliers=n_inl,
         ref_tracked=ref_tracked,
         close_tracked=close_tracked,

@@ -274,7 +274,8 @@ class System:
                 t.last_Tcw = jnp.asarray(Tcr @ t._ref_pose_np)
             else:
                 t.refresh_ref_pose()
-        t.velocity = None
+        # keep t.velocity: relative, map-move-invariant (see
+        # _reanchor_after_map_move)
         self._anchor = None
         return None
 
@@ -440,11 +441,35 @@ class System:
             self._anchor = None
             t._log_pose(frame, False)
             self.results.append(TrackResult(Tcw_np, t.state, n_inl, False))
+            try:
+                seed = np.asarray(rec.prev_anchors[2])
+                anchor_dt = float(np.linalg.norm(
+                    np.asarray(Tcw_np)[:3, 3] - seed[:3, 3]))
+            except Exception:
+                anchor_dt = -1.0
+            try:
+                rp, nb, pv = jax.device_get((
+                    self.map.kf_Tcw[t.ref_kf],
+                    jnp.sum((self.map.kf_point_idx[t.ref_kf] >= 0)
+                            & self.map.mp_valid[jnp.clip(
+                                self.map.kf_point_idx[t.ref_kf], 0,
+                                self.map.capacity_mp - 1)]),
+                    jnp.sum(self.map.mp_valid),
+                ))
+                seed_vs_ref = float(np.linalg.norm(
+                    np.asarray(rp)[:3, 3] - seed[:3, 3]))
+                extra_dbg = {"seed_vs_ref_dt": seed_vs_ref,
+                             "ref_live_bindings": int(nb),
+                             "n_valid_points": int(pv)}
+            except Exception:
+                extra_dbg = {}
             self.log.emit("frame", frame_id=int(frame.frame_id),
                           t=float(frame.timestamp), state="LOST",
                           n_inliers=n_inl, is_kf=False,
                           ok_coarse=bool(ok_coarse),
-                          post_correction=bool(event))
+                          post_correction=bool(event),
+                          ref_kf=int(t.ref_kf), anchor_dt=anchor_dt,
+                          **extra_dbg)
             # auto-reset only while BUILDING a young map (reference
             # src/Tracking.cc:502-510); never wipe a frozen/loaded map
             if t.n_keyframes <= 5 and not self.localization_only:
@@ -661,7 +686,16 @@ class System:
                 t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
         elif t.ref_kf >= 0:
             t.last_Tcw = self.map.kf_Tcw[t.ref_kf]
-        t.velocity = None
+        # KEEP the motion model: velocity is a frame-to-frame RELATIVE
+        # transform, invariant under a global map move, and composing it
+        # with the re-anchored last_Tcw predicts consistently in the
+        # corrected frame (the reference's mVelocity survives loop
+        # corrections the same way — only LOST/reloc/init clear it).
+        # Dropping it forced the next frame onto the reference-KF brute
+        # match alone, which dies when the reference keyframe is near the
+        # max-gap age (measured: 4 brute matches at a 15-frame / ~33
+        # degree viewpoint gap -> deterministic LOST one frame after every
+        # GBA fold that landed late in a keyframe interval).
         self._anchor = None
 
     def _dispatch_deferred_ba(self, kf_id: int):

@@ -32,7 +32,10 @@ def main():
                             fps=30.0, width=320, height=240),
         orb=OrbConfig(num_features=400, feature_slots=512, candidates_per_level=1024),
         map=MapConfig(max_keyframes=96, max_points=16384, max_local_points=4096),
-        tracking=TrackingConfig(th_depth=130.0),
+        tracking=TrackingConfig(
+            th_depth=130.0,
+            pipeline_depth=0 if "--no-pipeline" in sys.argv else 1,
+        ),
     )
     seq = synthetic.textured_sequence(n_frames=170, kind="orbit", cam=cfg.camera)
     seq = dataclasses.replace(seq, poses=np.concatenate([seq.poses, seq.poses[:35]]))
@@ -47,7 +50,8 @@ def main():
     lost = int((~tracked).sum())
     print(json.dumps({"loops_closed": loops, "lost": lost, "ate": round(rmse, 4)}))
     for e in slam.log.events:
-        if (str(e.get("event", "")).startswith(("loop", "gba", "reloc", "warn"))
+        if (str(e.get("event", "")).startswith(
+                ("loop", "gba", "reloc", "warn", "reanchor"))
                 or e.get("state") in ("LOST",)
                 or (e.get("event") == "frame" and int(e.get("frame_id", 0)) >= 160)):
             rec = {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in e.items()}
