@@ -526,14 +526,14 @@ def _detect_candidates(
 
 
 @jax.jit
-def _bow_rows(kf_desc, kf_feat_valid, present, codebook):
+def _bow_rows(kf_desc, kf_feat_valid, present, codebook, idf=None):
     """Recompute the [K, V] BoW matrix for every present keyframe in one
     program. lax.map (not vmap) keeps the peak intermediate at one
     [S, V] distance matrix instead of [K, S, V]."""
 
     def row(args):
         d, v, p = args
-        return jnp.where(p, bow.bow_vector(d, v, codebook), 0.0)
+        return jnp.where(p, bow.bow_vector(d, v, codebook, idf), 0.0)
 
     return jax.lax.map(row, (kf_desc, kf_feat_valid, present))
 
@@ -649,16 +649,19 @@ def replace_points(state: ms.MapState, old_ids, new_ids, mask):
 
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, K: cam_geo.Intrinsics,
-                 codebook, log=None, frozen_vocab: bool = False):
+                 codebook, log=None, frozen_vocab: bool = False, idf=None):
         self.cfg = cfg
         self.K = K
         self.codebook = codebook
+        # per-word idf weights trained WITH the shipped vocabulary (DBoW2's
+        # TF_IDF weighting); None for session-trained vocabularies
+        self.idf = idf
         # EventLog for truncation warnings (None -> silent counters only)
         self.log = log
         # essential-graph edge capacity; escalates (power-of-2 recompile
         # buckets) whenever a correction would truncate edges
         self._edge_cap = max(4 * cfg.map.max_keyframes, 512)
-        self.db = KeyFrameDatabase(codebook, cfg.map.max_keyframes)
+        self.db = KeyFrameDatabase(codebook, cfg.map.max_keyframes, idf=idf)
         nl = cfg.orb.num_levels
         sf = cfg.orb.scale_factor
         self.inv_sigma2 = jnp.asarray([1.0 / sf ** (2 * i) for i in range(nl)], jnp.float32)
@@ -744,12 +747,12 @@ class LoopCloser:
         present = jnp.zeros((Kcap,), bool).at[0].set(True)
         key = jax.random.PRNGKey(0)
 
-        def warm_bucket(cb):
-            db = KeyFrameDatabase(cb, Kcap)
+        def warm_bucket(cb, idf=None):
+            db = KeyFrameDatabase(cb, Kcap, idf=idf)
             vec = db.add(0, fdesc, fvalid)
             db.query(vec, jnp.zeros(Kcap, bool), 0.0,
                      jnp.zeros((Kcap, Kcap), jnp.int32))
-            rows = _bow_rows(kf_desc, kf_valid, present, cb)
+            rows = _bow_rows(kf_desc, kf_valid, present, cb, idf)
             if state is not None:
                 _detect_candidates(
                     state, rows, present, jnp.int32(Kcap - 1),
@@ -761,7 +764,7 @@ class LoopCloser:
         if self.frozen_vocab:
             # prebuilt vocabulary: exactly ONE bucket ever runs — warm it
             # and skip the training-program warmups entirely
-            warm_bucket(self.codebook)
+            warm_bucket(self.codebook, self.idf)
             return
 
         # the buckets the retrain rule can actually REACH given the
@@ -857,11 +860,12 @@ class LoopCloser:
                 vocab_size=v, iters=self.cfg.vocab.train_iters,
             )
         present = self.db.present
+        self.idf = None   # session-trained: no document corpus for idf
         self.db = KeyFrameDatabase(self.codebook, self.cfg.map.max_keyframes)
         # rebuild every present row in ONE program (a per-keyframe add()
         # loop costs one ~40 ms relay dispatch per keyframe)
         self.db.vectors = _bow_rows(
-            state.kf_desc, state.kf_feat_valid, present, self.codebook
+            state.kf_desc, state.kf_feat_valid, present, self.codebook, None
         )
         self.db.present = present
 

@@ -575,7 +575,7 @@ class System:
         from orbslam2_tpu.vocab import bow
 
         if self.loop_closer is None:
-            codebook = self._load_vocab_file()
+            codebook, idf = self._load_vocab_file()
             frozen = codebook is not None
             if codebook is None:
                 # bootstrap vocabulary: 256 words from the first keyframe's
@@ -589,7 +589,8 @@ class System:
                     iters=self.cfg.vocab.train_iters,
                 )
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, codebook,
-                                          log=self.log, frozen_vocab=frozen)
+                                          log=self.log, frozen_vocab=frozen,
+                                          idf=idf)
             self.loop_closer.warmup_compiles(self.cfg.orb.feature_slots, state)
             if self.cfg.vocab.warmup_correction:
                 self.loop_closer.warmup_correction(state)
@@ -598,8 +599,10 @@ class System:
             self._loop_key = jax.random.PRNGKey(self.cfg.seed + 7)
 
     def _load_vocab_file(self):
-        """Load the prebuilt vocabulary (reference loads ORBvoc.txt the
-        same way, src/System.cc:65-78). Returns None when unavailable."""
+        """Load the prebuilt vocabulary + its per-word idf weights
+        (reference loads ORBvoc.txt the same way, src/System.cc:65-78;
+        DBoW2 stores TF_IDF word weights inside the vocabulary file).
+        Returns (codebook, idf) — (None, None) when unavailable."""
         import os
 
         import jax.numpy as jnp
@@ -608,19 +611,20 @@ class System:
 
         path = self.cfg.vocab.vocab_file
         if not path:
-            return None
+            return None, None
         if path == "builtin":
             path = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "data", "vocab.npz",
             )
         if not os.path.exists(path):
-            return None
+            return None, None
         z = np.load(path)
+        idf = jnp.asarray(z["idf"]) if "idf" in z.files else None
         if "coarse" in z.files:
             return bow.Codebook(coarse=jnp.asarray(z["coarse"]),
-                                fine=jnp.asarray(z["fine"]))
-        return jnp.asarray(z["codebook"])
+                                fine=jnp.asarray(z["fine"])), idf
+        return jnp.asarray(z["codebook"]), idf
 
     def _dispatch_loop_detection(self, kf_id: int) -> bool:
         """Register the keyframe with the loop DB and launch detection;
@@ -1020,6 +1024,8 @@ class System:
                 payload["codebook_fine"] = np.asarray(cb.fine)
             else:
                 payload["codebook"] = np.asarray(cb)
+            if self.loop_closer.idf is not None:
+                payload["idf"] = np.asarray(self.loop_closer.idf)
         np.savez_compressed(path, **payload)
 
     def load_map(self, path: str):
@@ -1045,8 +1051,10 @@ class System:
                 )
             else:
                 cb = jnp.asarray(z["codebook"])
+            idf = jnp.asarray(z["idf"]) if "idf" in z.files else None
             self.loop_closer = LoopCloser(self.cfg, self.builder.K, cb,
-                                          log=self.log, frozen_vocab=True)
+                                          log=self.log, frozen_vocab=True,
+                                          idf=idf)
             self.loop_closer.db.vectors = jnp.asarray(z["db_vectors"])
             self.loop_closer.db.present = jnp.asarray(z["db_present"])
             import jax

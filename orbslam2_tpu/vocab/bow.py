@@ -185,10 +185,15 @@ def _assign2(descs: jnp.ndarray, cb: Codebook) -> jnp.ndarray:
 
 
 @jax.jit
-def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook) -> jnp.ndarray:
-    """L1-normalized word histogram [V] (the reference's BowVector via
-    vocabulary transform, src/Frame.cc:425-433). Accepts a flat [V, 8]
-    codebook or a two-level Codebook."""
+def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook,
+               idf=None) -> jnp.ndarray:
+    """L1-normalized tf (or tf-idf) word histogram [V] (the reference's
+    BowVector via vocabulary transform, src/Frame.cc:425-433; DBoW2's
+    default weighting is TF_IDF with L1 norm — TemplatedVocabulary.h).
+    Accepts a flat [V, 8] codebook or a two-level Codebook; `idf` is the
+    per-word inverse-document-frequency weight trained offline with the
+    vocabulary (tools/train_vocab.py) — None = tf-only (the session-
+    trained fallback, which has no document corpus)."""
     if isinstance(codebook, Codebook):
         V = codebook.num_words
         assign = _assign2(descs, codebook)
@@ -197,6 +202,8 @@ def bow_vector(descs: jnp.ndarray, valid: jnp.ndarray, codebook) -> jnp.ndarray:
         d = hamming.distance_matrix(descs, codebook)
         assign = jnp.argmin(d, axis=1)
     hist = jnp.zeros((V,), jnp.float32).at[assign].add(valid.astype(jnp.float32))
+    if idf is not None:
+        hist = hist * idf
     return hist / jnp.maximum(jnp.sum(hist), 1e-9)
 
 

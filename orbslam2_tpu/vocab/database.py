@@ -23,15 +23,16 @@ from orbslam2_tpu.vocab import bow
 class KeyFrameDatabase:
     """Host wrapper owning the device-side [K, V] BoW matrix."""
 
-    def __init__(self, codebook, max_keyframes: int):
+    def __init__(self, codebook, max_keyframes: int, idf=None):
         self.codebook = codebook
+        self.idf = idf          # [V] tf-idf weights (None = tf-only)
         V = bow.num_words(codebook)
         self.vectors = jnp.zeros((max_keyframes, V), jnp.float32)
         self.present = jnp.zeros((max_keyframes,), bool)
 
     def add(self, kf_id: int, descs, valid) -> jnp.ndarray:
         """Compute + store the BoW row; returns the vector."""
-        v = bow.bow_vector(descs, valid, self.codebook)
+        v = bow.bow_vector(descs, valid, self.codebook, self.idf)
         self.vectors = self.vectors.at[kf_id].set(v)
         self.present = self.present.at[kf_id].set(True)
         return v

@@ -81,10 +81,19 @@ def test_mono_orbit_loop_corrects_scale():
     (VERDICT r2 #6) — the stated purpose of Sim3 pose-graph optimization
     (reference src/Optimizer.cc:773-1039). A full 360-degree orbit plus
     revisit, run twice: with loop closing the drifted scale is pulled
-    back (measured Sim3-aligned ATE 0.0124 m vs 0.0285 m without — a
-    single global Sim3 alignment cannot absorb scale DRIFT, only a
-    constant scale offset, so the corrected run must align strictly
-    better)."""
+    back (a single global Sim3 alignment cannot absorb scale DRIFT, only
+    a constant offset, so the corrected run must align strictly better).
+
+    History of the measured margin: round 3 measured 0.0124 m corrected
+    vs 0.0285 m drift (2.3x) and asserted a 1.8x ratio. Round-5 tracking
+    improvements (anchor-preserving recycling, stale-binding scrub,
+    motion model kept across map moves) HALVED the uncorrected drift to
+    ~0.0135 m — near the corrected floor — so a fixed ratio no longer
+    discriminates; what remains load-bearing is that the correction (a)
+    fires, (b) never degrades the trajectory (it measurably did while
+    the round-4/5 essential-graph no-op bug and eager acceptance gates
+    were live: 0.065 vs 0.045 drift-only on the RGB-D orbit), and (c)
+    meets an absolute quality bar."""
     import dataclasses
 
     cfg = _mono_orbit_cfg()
@@ -111,7 +120,7 @@ def test_mono_orbit_loop_corrects_scale():
 
     assert loops >= 1, "mono loop did not close"
     assert lost_loop <= 2, f"lost {lost_loop} frames with loop closing"
-    assert ate_loop < 0.02, ate_loop
-    # scale drift correction: >= 1.8x better than the uncorrected run
-    # (measured 2.3x; margin for seed/scheduling variance)
-    assert ate_drift > 1.8 * ate_loop, (ate_drift, ate_loop)
+    assert ate_loop < 0.015, ate_loop
+    # the correction must strictly beat the uncorrected drift (it is NOT
+    # automatic: a bad Sim3 or under-converged GBA makes it worse)
+    assert ate_drift > ate_loop, (ate_drift, ate_loop)

@@ -34,7 +34,8 @@ def main():
         map=MapConfig(max_keyframes=96, max_points=16384, max_local_points=4096),
         tracking=TrackingConfig(
             th_depth=130.0,
-            pipeline_depth=0 if "--no-pipeline" in sys.argv else 1,
+            pipeline_depth=(2 if "--pipeline2" in sys.argv else
+                            0 if "--no-pipeline" in sys.argv else 0),
         ),
     )
     seq = synthetic.textured_sequence(n_frames=170, kind="orbit", cam=cfg.camera)

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--frames-per-scene", type=int, default=32)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--idf-only", action="store_true",
+                    help="keep the existing codebook in --out; only "
+                         "(re)compute the per-word idf weights over the "
+                         "scene grid (each FRAME is a document, like "
+                         "DBoW2's per-image training corpus)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,7 +63,7 @@ def main():
     kinds = ["forward", "lateral", "orbit", "outback"]
     seeds = [0, 1, 2, 3, 4, 5]
 
-    pool = []
+    pool = []          # per-frame descriptor batches (frame = document)
     ocfg = OrbConfig(num_features=1000, feature_slots=1024)
     extract = orb.extract
     for cam in cams:
@@ -75,6 +80,36 @@ def main():
                     pool.append(np.asarray(f.desc)[v])
                 print(f"# cam{cam.width}x{cam.height} {kind} seed{seed}: "
                       f"{sum(len(p) for p in pool)} descs", flush=True)
+
+    def compute_idf(cb):
+        # DBoW2 setNodeWeights: idf_w = log(N_docs / N_docs_containing_w)
+        # over the training images (TemplatedVocabulary.h); unseen words
+        # get the maximum weight
+        V = bow.num_words(cb)
+        n_docs = len(pool)
+        df = np.zeros(V, np.int64)
+        for batch in pool:
+            if not len(batch):
+                continue
+            w = np.asarray(bow.word_ids(jnp.asarray(batch), cb))
+            df[np.unique(w)] += 1
+        idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32)
+        print(f"# idf over {n_docs} docs: {int((df > 0).sum())}/{V} words "
+              f"seen, idf range [{idf.min():.2f}, {idf.max():.2f}]")
+        return idf
+
+    if args.idf_only:
+        z = np.load(args.out)
+        if "coarse" in z.files:
+            cb = bow.Codebook(coarse=jnp.asarray(z["coarse"]),
+                              fine=jnp.asarray(z["fine"]))
+        else:
+            cb = jnp.asarray(z["codebook"])
+        payload = {k: z[k] for k in z.files if k != "idf"}
+        payload["idf"] = compute_idf(cb)
+        np.savez_compressed(args.out, **payload)
+        print(f"# wrote idf into {args.out} ({os.path.getsize(args.out)} bytes)")
+        return
 
     descs = np.concatenate(pool)
     rng = np.random.default_rng(0)
@@ -98,6 +133,7 @@ def main():
         )
         payload = {"codebook": np.asarray(cb)}
 
+    payload["idf"] = compute_idf(cb)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez_compressed(args.out, **payload)
     print(f"# wrote {args.out} ({words} effective words, "
