@@ -145,17 +145,21 @@ def main():
         edge_weight=jnp.ones(E, jnp.float32),
     )
     pg_iters = 3
-    pg_results = {}
-    for n in sizes:
-        mesh = spg.make_edges_mesh(n)
-        padded = spg.pad_edges(pgprob, n)
-        out = spg.sharded_optimize_pose_graph(padded, mesh, iters=1)  # warm
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = spg.sharded_optimize_pose_graph(padded, mesh, iters=pg_iters)
-        jax.block_until_ready(out)
-        pg_results[n] = (time.perf_counter() - t0) / pg_iters
-    pg_eff = efficiency(pg_results)
+    pg_modes = {}
+    for inner in ("gathered", "stepped"):
+        pg_results = {}
+        for n in sizes:
+            mesh = spg.make_edges_mesh(n)
+            padded = spg.pad_edges(pgprob, n)
+            out = spg.sharded_optimize_pose_graph(
+                padded, mesh, iters=1, inner=inner)  # warm
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = spg.sharded_optimize_pose_graph(
+                padded, mesh, iters=pg_iters, inner=inner)
+            jax.block_until_ready(out)
+            pg_results[n] = (time.perf_counter() - t0) / pg_iters
+        pg_modes[inner] = (pg_results, efficiency(pg_results))
 
     # ---- row-sharded BoW query (SURVEY §2b: place recognition) ----------
     from orbslam2_tpu.parallel import sharded_bow
@@ -206,8 +210,20 @@ def main():
             "pose_graph": {
                 "problem": f"K={Kv}, E={E}, matrix-free block-Jacobi PCG"
                            " (cg_iters=64), edge-sharded",
-                "per_mesh_ms": {str(n): round(v * 1e3, 2) for n, v in pg_results.items()},
-                "strong_scaling_efficiency": pg_eff,
+                "note": "'stepped' distributes the CG compute (one [K,7]"
+                        " psum per CG step) and is what a shared-socket"
+                        " VIRTUAL mesh rewards; 'gathered' issues ONE"
+                        " all_gather per GN iteration with replicated CG"
+                        " and is the ICI design (collective latency, not"
+                        " compute, bounds a real pod)",
+                **{
+                    mode: {
+                        "per_mesh_ms": {str(n): round(v * 1e3, 2)
+                                        for n, v in res.items()},
+                        "strong_scaling_efficiency": eff_m,
+                    }
+                    for mode, (res, eff_m) in pg_modes.items()
+                },
             },
             "bow_query": {
                 "problem": f"K={Kb}, V={V}",

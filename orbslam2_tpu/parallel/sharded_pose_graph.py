@@ -37,14 +37,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 from orbslam2_tpu.solvers import pose_graph as pg
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "inner"))
 def sharded_optimize_pose_graph(
-    prob: pg.PoseGraphProblem, mesh: Mesh, iters: int = 20, cg_iters: int = 64
+    prob: pg.PoseGraphProblem, mesh: Mesh, iters: int = 20,
+    cg_iters: int = 64, inner: str = "gathered",
 ) -> jnp.ndarray:
     """Edge-sharded pose-graph GN with a matrix-free PCG inner solve.
     `prob.edge_*` arrays must have length a multiple of the mesh size (pad
     with edge_valid=False rows). Returns optimized packed sim3 vertices
-    [K, 8] (replicated)."""
+    [K, 8] (replicated).
+
+    Two inner-solve strategies — the right one depends on what the mesh's
+    links actually are:
+
+    * ``inner="gathered"`` (default, the ICI design): ONE tiled
+      all_gather of the per-edge Jacobian blocks per GN iteration, then
+      the whole PCG runs REPLICATED with zero collectives. `iters`
+      collectives total; the replicated CG compute (~2·K·E·7 FLOP/step)
+      is free on real chips, which all run it concurrently. Bit-identical
+      to the single-device solve (the tiled gather preserves edge order).
+    * ``inner="stepped"``: per-edge blocks stay LOCAL and every CG step
+      psums a [K,7] Hessian-vector product — iters·cg_iters collectives,
+      but the CG compute is fully distributed. On a VIRTUAL CPU mesh
+      (xla_force_host_platform_device_count, one physical socket) this is
+      the faster mode: collectives there are memcpys while replicated
+      compute multiplies real work on the shared CPU. SCALING_r05
+      measures both; on an actual pod slice "gathered" is the design
+      (the [K,7] psum is latency-bound at 1280 round trips).
+    """
     K = prob.vertices.shape[0]
     espec = P("edges")
 
@@ -58,29 +78,46 @@ def sharded_optimize_pose_graph(
     def run(verts0, vfixed, vvalid, ei, ej, emeas, evalid, eweight,
             ei_full, ej_full):
         free = vvalid & ~vfixed
-        # FULL incidence: the inner solve runs replicated over all edges
-        Ai, Aj = pg.incidence_onehot(ei_full, ej_full, K)
 
-        def gn_iter(verts, _):
-            # distributed: the forward-mode Jacobian sweep on the local slice
-            rw, Ji, Jj = pg.edge_jacobians(
-                verts, ei, ej, emeas, evalid, eweight, vfixed
-            )
-            # ONE collective per GN iteration: tiled all_gather of the
-            # per-edge blocks (order-preserving -> bit-identical to the
-            # single-device solve)
-            payload = jnp.concatenate(
-                [Ji.reshape(-1, 49), Jj.reshape(-1, 49), rw], axis=1
-            )
-            payload = jax.lax.all_gather(payload, "edges", axis=0, tiled=True)
-            Ji_f = payload[:, :49].reshape(-1, 7, 7)
-            Jj_f = payload[:, 49:98].reshape(-1, 7, 7)
-            rw_f = payload[:, 98:]
-            D, g = pg.assemble_diag_g(Ji_f, Jj_f, Ai, Aj, rw_f)
-            dx = pg.pcg_solve(
-                Ji_f, Jj_f, ei_full, ej_full, Ai, Aj, D, g, free, cg_iters,
-            )
-            return pg.apply_update(verts, dx), None
+        if inner == "gathered":
+            # FULL incidence: the inner solve runs replicated over all edges
+            Ai_f, Aj_f = pg.incidence_onehot(ei_full, ej_full, K)
+
+            def gn_iter(verts, _):
+                # distributed: the forward-mode Jacobian sweep on the slice
+                rw, Ji, Jj = pg.edge_jacobians(
+                    verts, ei, ej, emeas, evalid, eweight, vfixed
+                )
+                payload = jnp.concatenate(
+                    [Ji.reshape(-1, 49), Jj.reshape(-1, 49), rw], axis=1
+                )
+                payload = jax.lax.all_gather(
+                    payload, "edges", axis=0, tiled=True
+                )
+                Ji_f = payload[:, :49].reshape(-1, 7, 7)
+                Jj_f = payload[:, 49:98].reshape(-1, 7, 7)
+                rw_f = payload[:, 98:]
+                D, g = pg.assemble_diag_g(Ji_f, Jj_f, Ai_f, Aj_f, rw_f)
+                dx = pg.pcg_solve(
+                    Ji_f, Jj_f, ei_full, ej_full, Ai_f, Aj_f, D, g, free,
+                    cg_iters,
+                )
+                return pg.apply_update(verts, dx), None
+        else:
+            Ai, Aj = pg.incidence_onehot(ei, ej, K)  # local edge slice
+
+            def gn_iter(verts, _):
+                rw, Ji, Jj = pg.edge_jacobians(
+                    verts, ei, ej, emeas, evalid, eweight, vfixed
+                )
+                D, g = pg.assemble_diag_g(Ji, Jj, Ai, Aj, rw)
+                D = jax.lax.psum(D, "edges")
+                g = jax.lax.psum(g, "edges")
+                dx = pg.pcg_solve(
+                    Ji, Jj, ei, ej, Ai, Aj, D, g, free, cg_iters,
+                    reduce_fn=lambda y: jax.lax.psum(y, "edges"),
+                )
+                return pg.apply_update(verts, dx), None
 
         verts, _ = jax.lax.scan(gn_iter, verts0, None, length=iters)
         return verts

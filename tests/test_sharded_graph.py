@@ -51,7 +51,8 @@ def circle_problem(rng, Kn=12):
 
 
 @pytest.mark.parametrize("n_devices", [1, 2, 8])
-def test_sharded_pose_graph_matches_single(rng, n_devices):
+@pytest.mark.parametrize("inner", ["gathered", "stepped"])
+def test_sharded_pose_graph_matches_single(rng, n_devices, inner):
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough devices")
     gt, prob = circle_problem(rng)
@@ -59,7 +60,8 @@ def test_sharded_pose_graph_matches_single(rng, n_devices):
     mesh = sharded_pose_graph.make_edges_mesh(n_devices)
     padded = sharded_pose_graph.pad_edges(prob, n_devices)
     out = np.asarray(
-        sharded_pose_graph.sharded_optimize_pose_graph(padded, mesh, iters=20)
+        sharded_pose_graph.sharded_optimize_pose_graph(
+            padded, mesh, iters=20, inner=inner)
     )
     # psum reorders additions -> numerically equal, not bitwise (and the
     # packed quaternion sign is arbitrary): compare recovered SE3 poses
