@@ -551,14 +551,34 @@ def build_local_ba_problem(
         True, mode="drop"
     )
 
-    # points bound in local cams
-    flags = jnp.zeros(P + 1, bool)
-    ids = state.kf_point_idx[cam_local]
+    # points bound in local cams. When they overflow max_points, keep the
+    # points of the MOST RELEVANT (strongest-covisibility) cameras first,
+    # newest slot on ties — a plain first-K-slots cut kept the OLDEST
+    # slots and silently excluded every newly triangulated point from
+    # local BA once the local region outgrew the cap. Unrefined frontier
+    # points then failed tracking's chi2 gates and coverage decayed
+    # (640p orbit: inliers sawtoothed down over ~10 frames and tracking
+    # died mid-orbit; the 320p config fit under the cap and never saw
+    # it). Same fix as tracking.gather_local_map (round 4).
+    ids = state.kf_point_idx[cam_local]               # [L, S]
+    Lc = cam_local.shape[0]
     ids_w = jnp.where(local_ok[:, None] & (ids >= 0), ids, P)
-    flags = flags.at[ids_w.reshape(-1)].set(True).at[P].set(False)
-    flags = flags[:P] & state.mp_valid
-    pts = jnp.nonzero(flags, size=max_points, fill_value=P)[0]
-    pt_ok = pts < P
+    rank_l = jnp.broadcast_to(
+        jnp.arange(Lc, dtype=jnp.int32)[:, None], ids_w.shape
+    )
+    pri = jnp.full(P + 1, Lc, jnp.int32).at[ids_w.reshape(-1)].min(
+        rank_l.reshape(-1)
+    )[:P]
+    flagged = (pri < Lc) & state.mp_valid
+    # int32 is safe: (L - pri) <= 80 and (P + 1) <= 32769 -> < 2^22 + P
+    score_pt = jnp.where(
+        flagged,
+        (Lc - pri).astype(jnp.int32) * (P + 1) + jnp.arange(P, dtype=jnp.int32),
+        -1,
+    )
+    top_score, pts = jax.lax.top_k(score_pt, max_points)
+    pt_ok = top_score >= 0
+    pts = jnp.where(pt_ok, pts, P).astype(jnp.int32)
     ptsc = jnp.clip(pts, 0, P - 1)
 
     # observations of those points
