@@ -21,7 +21,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from orbslam2_tpu.config import (CameraConfig, MapConfig, OrbConfig,
-                                     SlamConfig, Sensor, TrackingConfig)
+                                     SlamConfig, Sensor, SolverConfig,
+                                     TrackingConfig)
     from orbslam2_tpu.io import synthetic
     from orbslam2_tpu.pipeline.system import System
     from orbslam2_tpu.utils.evaluation import ate_rmse
@@ -37,6 +38,8 @@ def main():
             pipeline_depth=(2 if "--pipeline2" in sys.argv else
                             0 if "--no-pipeline" in sys.argv else 0),
         ),
+        solver=(SolverConfig(ba_max_points=16384)
+                if "--full-ba" in sys.argv else SolverConfig()),
     )
     seq = synthetic.textured_sequence(n_frames=170, kind="orbit", cam=cfg.camera)
     seq = dataclasses.replace(seq, poses=np.concatenate([seq.poses, seq.poses[:35]]))
